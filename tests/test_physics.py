@@ -1,0 +1,145 @@
+"""Physics engine vs the MuJoCo C oracle (mj_forward / mj_step).
+
+Strategy (SURVEY.md §4): golden comparisons at randomized states for each
+reference asset — FK, mass matrix, bias forces, smooth and constrained
+accelerations — then short trajectory rollouts.  Oracle calls use fp64; our
+engine runs fp64 here for tight tolerances (TPU runtime is fp32).
+"""
+
+import jax
+import jax.numpy as jnp
+import mujoco
+import numpy as np
+import pytest
+
+jax.config.update("jax_enable_x64", True)
+
+from vnl_tpu import mjcf, physics
+
+ASSETS = "/root/reference/assets"
+
+
+def random_state(mj, rng, scale=0.3):
+    qpos = mj.qpos0.copy()
+    if mj.jnt_type[0] == 0:
+        qpos[:3] += rng.normal(size=3) * 0.1
+        q = rng.normal(size=4)
+        qpos[3:7] = q / np.linalg.norm(q)
+        lo = mj.jnt_range[1:, 0]
+        hi = mj.jnt_range[1:, 1]
+        mid = 0.5 * (lo + hi)
+        qpos[7:] = mid + (hi - lo) * rng.uniform(-0.6, 0.6, size=len(lo))
+    qvel = rng.normal(size=mj.nv) * scale
+    return qpos, qvel
+
+
+@pytest.fixture(scope="module", params=["ant", "humanoid", "rodent"])
+def setup(request):
+    name = request.param
+    # compare at converged solver settings on both sides: the assets ship
+    # truncated iteration counts (e.g. humanoid iterations=1) whose result
+    # depends on warmstart details, not on solution correctness
+    mj = mujoco.MjModel.from_xml_path(f"{ASSETS}/{name}.xml")
+    mj.opt.iterations = 100
+    mj.opt.ls_iterations = 50
+    m = mjcf.load_model(f"{ASSETS}/{name}.xml", dtype=jnp.float64,
+                        overrides={"iterations": 50, "ls_iterations": 25})
+    fwd = jax.jit(lambda d: physics.forward(m, d))
+    return name, mj, m, fwd
+
+
+def test_forward_matches_oracle(setup):
+    name, mj, m, fwd = setup
+    rng = np.random.default_rng(3)
+    d_mj = mujoco.MjData(mj)
+    for trial in range(3):
+        qpos, qvel = random_state(mj, rng)
+        ctrl = rng.uniform(-1, 1, size=mj.nu)
+        mujoco.mj_resetData(mj, d_mj)
+        d_mj.qpos[:] = qpos
+        d_mj.qvel[:] = qvel
+        d_mj.ctrl[:] = ctrl
+        if mj.na:
+            act = rng.uniform(-0.5, 0.5, size=mj.na)
+            d_mj.act[:] = act
+        mujoco.mj_forward(mj, d_mj)
+
+        d = physics.make_data(m, qpos=qpos, qvel=qvel, dtype=jnp.float64)
+        d = d.replace(ctrl=jnp.asarray(ctrl))
+        if mj.na:
+            d = d.replace(act=jnp.asarray(act))
+        d = fwd(d)
+
+        np.testing.assert_allclose(np.asarray(d.xpos), d_mj.xpos, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(d.subtree_com),
+                                   d_mj.subtree_com, atol=1e-9)
+        M_mj = np.zeros((mj.nv, mj.nv))
+        mujoco.mj_fullM(mj, d_mj, M_mj)
+        np.testing.assert_allclose(np.asarray(d.qM), M_mj, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(d.qfrc_bias), d_mj.qfrc_bias,
+                                   atol=1e-8)
+        np.testing.assert_allclose(np.asarray(d.qfrc_passive),
+                                   d_mj.qfrc_passive, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(d.qfrc_actuator),
+                                   d_mj.qfrc_actuator, atol=1e-8)
+        smooth_scale = max(1.0, np.abs(d_mj.qacc_smooth).max())
+        np.testing.assert_allclose(np.asarray(d.qacc_smooth) / smooth_scale,
+                                   d_mj.qacc_smooth / smooth_scale, atol=1e-5)
+        # constrained acceleration: solvers differ in iteration details, so
+        # compare with a scale-relative tolerance
+        scale = max(1.0, np.abs(d_mj.qacc).max())
+        err = np.abs(np.asarray(d.qacc) - d_mj.qacc).max() / scale
+        assert err < 5e-3, (name, trial, err)
+
+
+def test_act_dot_filter(setup):
+    name, mj, m, fwd = setup
+    if not mj.na:
+        pytest.skip("no activation dynamics")
+    rng = np.random.default_rng(5)
+    d_mj = mujoco.MjData(mj)
+    ctrl = rng.uniform(-1, 1, size=mj.nu)
+    act = rng.uniform(-0.5, 0.5, size=mj.na)
+    d_mj.ctrl[:] = ctrl
+    d_mj.act[:] = act
+    mujoco.mj_forward(mj, d_mj)
+    d = physics.make_data(m, dtype=jnp.float64).replace(
+        ctrl=jnp.asarray(ctrl), act=jnp.asarray(act))
+    d = fwd(d)
+    np.testing.assert_allclose(np.asarray(d.act_dot), d_mj.act_dot, atol=1e-9)
+
+
+def test_trajectory_tracks_oracle(setup):
+    """200-step rollout with fixed ctrl stays close to the oracle."""
+    name, mj, m, fwd = setup
+    rng = np.random.default_rng(7)
+    ctrl = rng.uniform(-0.3, 0.3, size=mj.nu)
+    d_mj = mujoco.MjData(mj)
+    d_mj.ctrl[:] = ctrl
+    d = physics.make_data(m, dtype=jnp.float64).replace(ctrl=jnp.asarray(ctrl))
+    step = jax.jit(lambda d: physics.step(m, d))
+    for _ in range(200):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    err = np.abs(np.asarray(d.qpos) - d_mj.qpos).max()
+    # chaotic contact dynamics diverge; require same qualitative state
+    assert err < 0.25, (name, err)
+    assert not np.isnan(np.asarray(d.qpos)).any()
+
+
+def test_vmap_batched_step(setup):
+    """Engine must vmap over env batches and stay finite."""
+    name, mj, m, fwd = setup
+    if name != "ant":
+        pytest.skip("vmap smoke test on ant only (speed)")
+    rng = np.random.default_rng(11)
+    B = 8
+    base = physics.make_data(m, dtype=jnp.float64)
+    qpos = jnp.asarray(np.tile(np.asarray(base.qpos), (B, 1)))
+    qpos = qpos.at[:, :2].add(jnp.asarray(rng.normal(size=(B, 2)) * 0.1))
+    batch = jax.vmap(lambda q: physics.make_data(m, qpos=q, dtype=jnp.float64))(qpos)
+    step = jax.jit(jax.vmap(lambda d: physics.step(m, d)))
+    for _ in range(10):
+        batch = step(batch)
+    assert batch.qpos.shape == (B, m.nq)
+    assert bool(jnp.isfinite(batch.qpos).all())

@@ -1,0 +1,103 @@
+"""Training stack integration tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vnl_tpu import envs, models, training
+from vnl_tpu.training import checkpoint as ckpt_lib
+
+
+@pytest.fixture(scope="module")
+def tiny_train_result(tmp_path_factory):
+    env = envs.get_environment("ant")
+    ckpt_dir = str(tmp_path_factory.mktemp("ckpt"))
+    progress_calls = []
+    make_policy, params, metrics = training.train(
+        env, num_timesteps=512, episode_length=8, num_envs=16,
+        num_eval_envs=8, learning_rate=3e-4, unroll_length=4, batch_size=8,
+        num_minibatches=4, num_updates_per_batch=1, num_evals=2,
+        normalize_observations=True, seed=0,
+        progress_fn=lambda step, m: progress_calls.append((step, m)),
+        checkpoint_dir=ckpt_dir)
+    return make_policy, params, metrics, progress_calls, ckpt_dir
+
+
+def test_train_runs_and_reports(tiny_train_result):
+    make_policy, params, metrics, progress_calls, _ = tiny_train_result
+    assert "eval/episode_reward" in metrics
+    assert np.isfinite(metrics["eval/episode_reward"])
+    assert len(progress_calls) >= 1
+    assert any("training/sps" in m for _, m in progress_calls)
+
+
+def test_trained_policy_runs(tiny_train_result):
+    make_policy, params, *_ = tiny_train_result
+    env = envs.get_environment("ant")
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    policy = make_policy(params, deterministic=True)
+    action, _ = policy(state.info["traj"], state.obs, jax.random.PRNGKey(1))
+    assert action.shape == (env.action_size,)
+    assert np.all(np.abs(np.asarray(action)) <= 1.0)
+
+
+def test_checkpoint_roundtrip(tiny_train_result, tmp_path):
+    *_, ckpt_dir = tiny_train_result
+    latest = ckpt_lib.latest_checkpoint(ckpt_dir)
+    assert latest is not None
+    # restore into a freshly-initialized state and compare param trees
+    env = envs.get_environment("ant")
+    state0 = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    net = models.make_intention_ppo_networks(
+        state0.info["traj"].shape[-1], state0.obs.shape[-1], env.action_size)
+    import optax
+    from vnl_tpu.training.losses import PPONetworkParams
+    from vnl_tpu.training import running_statistics
+    init_params = PPONetworkParams(
+        policy=net.policy_network.init(jax.random.PRNGKey(0)),
+        value=net.value_network.init(jax.random.PRNGKey(1)))
+    # wrap obs like training did (episode wrapper adds nothing to obs)
+    template = training.train.__globals__["TrainingState"](
+        optimizer_state=optax.adam(
+            optax.constant_schedule(3e-4)).init(init_params),
+        params=init_params,
+        normalizer_params=running_statistics.init_state(
+            state0.obs.shape[-1:]),
+        env_steps=jnp.zeros((), jnp.int32))
+    restored = ckpt_lib.restore(latest, template)
+    assert int(np.asarray(restored.env_steps)) > 0
+    # normalizer saw data
+    assert float(np.asarray(restored.normalizer_params.count)) > 0
+
+
+def test_save_load_params_roundtrip(tiny_train_result, tmp_path):
+    _, params, *_ = tiny_train_result
+    path = os.path.join(str(tmp_path), "params")
+    ckpt_lib.save_params(path, params)
+    loaded = ckpt_lib.load_params(path, params)
+    tree_ok = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+        params, loaded))
+    assert tree_ok
+
+
+def test_learning_signal_on_ant():
+    """A slightly longer run should not diverge and should keep finite
+    losses; acts as a cheap learning smoke test."""
+    env = envs.get_environment("ant")
+    losses_seen = []
+
+    def progress(step, metrics):
+        if "training/total_loss" in metrics:
+            losses_seen.append(metrics["training/total_loss"])
+
+    training.train(
+        env, num_timesteps=1024, episode_length=8, num_envs=16,
+        num_eval_envs=8, learning_rate=3e-4, unroll_length=4, batch_size=8,
+        num_minibatches=4, num_updates_per_batch=1, num_evals=3,
+        normalize_observations=True, seed=1, progress_fn=progress)
+    assert losses_seen
+    assert all(np.isfinite(l) for l in losses_seen)

@@ -1,0 +1,123 @@
+"""Training driver CLI.
+
+Equivalent of /root/reference/train.py (hydra entry, env registration,
+wandb/checkpoint wiring): composes configs/train_config.yaml +
+configs/env_config.yaml, builds the tracking env from a reference clip, and
+runs the intention-PPO trainer.  Overrides use dotted paths:
+
+  python train.py train.num_timesteps=100000 env.name=rodent
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import uuid
+
+import jax
+import numpy as np
+
+from vnl_tpu import envs as envs_lib
+from vnl_tpu import models as models_lib
+from vnl_tpu import training
+from vnl_tpu.data.io import load_clip
+from vnl_tpu.data.preprocess import process_clip
+from vnl_tpu.training import checkpoint as ckpt_lib
+from vnl_tpu.utils import MetricsLogger, apply_overrides, load_config
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_env(cfg):
+    env_cfg = cfg["env"]
+    name = env_cfg["name"]
+    if name in ("rodent", "rodent_multiclip"):
+        if env_cfg.get("stac_path"):
+            clip = process_clip(
+                stac_path=env_cfg["stac_path"],
+                mjcf_path=env_cfg["env_args"]["mjcf_path"],
+                scale_factor=env_cfg["env_args"]["scale_factor"],
+                start_step=env_cfg.get("clip_idx", 0)
+                * env_cfg["env_args"]["clip_length"],
+                clip_length=env_cfg["env_args"]["clip_length"])
+        else:
+            clip = load_clip(env_cfg["clip_path"])
+        return envs_lib.get_environment(
+            name, reference_clip=clip, **env_cfg["env_args"])
+    if name in ("humanoidtracking",):
+        clip = load_clip(env_cfg["clip_path"])
+        return envs_lib.get_environment(name, reference_clip=clip,
+                                        **env_cfg.get("env_args", {}))
+    return envs_lib.get_environment(name, **env_cfg.get("env_args", {}))
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cfg = load_config(os.path.join(_HERE, "configs", "train_config.yaml"),
+                      os.path.join(_HERE, "configs", "env_config.yaml"))
+    cfg = apply_overrides(cfg, [a for a in argv if "=" in a])
+    tc = cfg["train"]
+
+    env = build_env(cfg)
+    # scale env count by devices, like the reference driver (train.py:128-129)
+    num_envs = tc["num_envs"] * jax.device_count()
+    batch_size = tc["batch_size"] * jax.device_count()
+
+    run_id = str(uuid.uuid4())[:8]
+    model_path = os.path.join(tc["checkpoint_dir"], run_id)
+    logger = MetricsLogger(
+        project=f"vnl_tpu_{tc['task_name']}", run_name=run_id, config=cfg)
+
+    def progress(num_steps, metrics):
+        logger.log(metrics, step=num_steps)
+        print(f"[{num_steps:>12}] " + " ".join(
+            f"{k.split('/')[-1]}={v:.4g}" for k, v in sorted(metrics.items())
+            if isinstance(v, (int, float)) and
+            ("episode_reward" in k or "sps" in k)))
+
+    def policy_params_fn(num_steps, make_policy, params):
+        ckpt_lib.save_params(os.path.join(model_path, str(num_steps)), params)
+
+    network_factory = functools.partial(
+        models_lib.make_intention_ppo_networks,
+        intention_latent_size=tc["intention_latent_size"],
+        encoder_layer_sizes=tuple(tc["encoder_layer_sizes"]),
+        decoder_layer_sizes=tuple(tc["decoder_layer_sizes"]),
+        value_hidden_layer_sizes=tuple(tc["value_hidden_layer_sizes"]),
+    )
+
+    make_policy, params, metrics = training.train(
+        env,
+        num_timesteps=int(tc["num_timesteps"]),
+        num_evals=max(2, int(tc["num_timesteps"] / tc["eval_every"])),
+        episode_length=tc["episode_length"],
+        num_envs=num_envs,
+        num_eval_envs=tc["num_eval_envs"],
+        learning_rate=tc["learning_rate"],
+        entropy_cost=tc["entropy_cost"],
+        discounting=tc["discounting"],
+        seed=tc["seed"],
+        unroll_length=tc["unroll_length"],
+        batch_size=batch_size,
+        num_minibatches=tc["num_minibatches"],
+        num_updates_per_batch=tc["num_updates_per_batch"],
+        normalize_observations=tc["normalize_observations"],
+        reward_scaling=tc["reward_scaling"],
+        clipping_epsilon=tc["clipping_epsilon"],
+        gae_lambda=tc["gae_lambda"],
+        kl_weight=tc["kl_weight"],
+        network_factory=network_factory,
+        progress_fn=progress,
+        policy_params_fn=policy_params_fn,
+        checkpoint_dir=os.path.join(model_path, "state"),
+        restore_checkpoint_path=tc.get("restore_checkpoint"),
+    )
+
+    ckpt_lib.save_params(os.path.join(model_path, "finished"), params)
+    logger.finish()
+    return make_policy, params, metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""MJCF XML parser -> explicit-attribute spec tree.
+
+Parses the MJCF subset exercised by the reference assets (ant, humanoid,
+rodent: bodies/joints/freejoint/geoms/sites/inertial, nested defaults with
+classes and childclass, motor/general actuators, contact pair/exclude,
+keyframes, option/compiler/custom).  Visual-only elements (asset textures,
+cameras, lights, skins) are retained as inert children for potential use by
+a renderer but do not affect compilation.
+
+Defaults are NOT materialized at parse time: each element keeps only its
+explicit attributes plus a resolved default-class name.  This mirrors
+dm_control's mjcf tree semantics, which the reference's runtime edits
+(rescale, actuator retarget) rely on — spec transforms scale explicit
+attributes only (cf. dm_control rescale_subtree).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class MjcfElement:
+    """One element: tag, explicit attributes, default class, children."""
+
+    tag: str
+    attrib: Dict[str, str]
+    childclass: Optional[str]  # resolved default class for this element
+    children: List["MjcfElement"] = dataclasses.field(default_factory=list)
+
+    def find_all(self, tag: str) -> List["MjcfElement"]:
+        out = []
+        stack = [self]
+        while stack:
+            el = stack.pop()
+            if el.tag == tag:
+                out.append(el)
+            stack.extend(reversed(el.children))
+        return out
+
+    def get(self, key: str, default: Optional[str] = None) -> Optional[str]:
+        return self.attrib.get(key, default)
+
+
+@dataclasses.dataclass
+class MjcfSpec:
+    """Parsed model: defaults tree + element trees + global options."""
+
+    model_name: str
+    compiler: Dict[str, str]
+    option: Dict[str, str]
+    option_flags: Dict[str, str]
+    # defaults[class_name][element_tag] -> explicit attr dict for that class
+    defaults: Dict[str, Dict[str, Dict[str, str]]]
+    # parent class of each default class ("" = top default)
+    default_parent: Dict[str, str]
+    worldbody: MjcfElement
+    actuators: List[MjcfElement]
+    contact_pairs: List[MjcfElement]
+    contact_excludes: List[MjcfElement]
+    keyframes: List[MjcfElement]
+    customs: Dict[str, np.ndarray]
+
+    # -- default resolution ---------------------------------------------------
+    def class_chain(self, clazz: Optional[str]) -> List[str]:
+        """Inner-to-outer list of default classes to consult."""
+        chain = []
+        c = clazz if clazz is not None else ""
+        while True:
+            chain.append(c)
+            if c == "":
+                break
+            c = self.default_parent.get(c, "")
+        return chain
+
+    def resolve(self, el_tag: str, el: Optional[MjcfElement], key: str,
+                default: Optional[str] = None, clazz: Optional[str] = None) -> Optional[str]:
+        """Attribute lookup: explicit -> class defaults (inner to outer) -> default."""
+        if el is not None:
+            if key in el.attrib:
+                return el.attrib[key]
+            if clazz is None:
+                clazz = el.attrib.get("class", el.childclass)
+        for c in self.class_chain(clazz):
+            d = self.defaults.get(c, {}).get(el_tag, {})
+            if key in d:
+                return d[key]
+        return default
+
+
+def _parse_defaults(node: ET.Element, parent_class: str,
+                    defaults: Dict, default_parent: Dict) -> None:
+    clazz = node.get("class", "" if parent_class == "<root>" else None)
+    if clazz is None:
+        raise ValueError("nested <default> element must have a class name")
+    default_parent[clazz] = "" if parent_class == "<root>" else parent_class
+    table = defaults.setdefault(clazz, {})
+    for child in node:
+        if child.tag == "default":
+            _parse_defaults(child, clazz, defaults, default_parent)
+        else:
+            d = table.setdefault(child.tag, {})
+            d.update(child.attrib)
+
+
+def _parse_element(node: ET.Element, childclass: Optional[str]) -> MjcfElement:
+    attrib = dict(node.attrib)
+    own_childclass = attrib.get("childclass", childclass)
+    el = MjcfElement(tag=node.tag, attrib=attrib, childclass=childclass)
+    for child in node:
+        el.children.append(_parse_element(child, own_childclass))
+    return el
+
+
+def parse(path_or_xml: str) -> MjcfSpec:
+    """Parses an MJCF file path or XML string into a spec tree."""
+    if os.path.exists(path_or_xml):
+        tree = ET.parse(path_or_xml)
+        root = tree.getroot()
+    else:
+        root = ET.fromstring(path_or_xml)
+    if root.tag != "mujoco":
+        raise ValueError(f"expected <mujoco> root, got <{root.tag}>")
+
+    compiler: Dict[str, str] = {}
+    option: Dict[str, str] = {}
+    option_flags: Dict[str, str] = {}
+    defaults: Dict[str, Dict[str, Dict[str, str]]] = {"": {}}
+    default_parent: Dict[str, str] = {"": ""}
+    worldbody: Optional[MjcfElement] = None
+    actuators: List[MjcfElement] = []
+    contact_pairs: List[MjcfElement] = []
+    contact_excludes: List[MjcfElement] = []
+    keyframes: List[MjcfElement] = []
+    customs: Dict[str, np.ndarray] = {}
+
+    def walk_top(node: ET.Element):
+        nonlocal worldbody
+        for child in node:
+            if child.tag == "compiler":
+                compiler.update(child.attrib)
+            elif child.tag == "option":
+                option.update(child.attrib)
+                for fl in child:
+                    if fl.tag == "flag":
+                        option_flags.update(fl.attrib)
+            elif child.tag == "default":
+                # top-level default may be anonymous (class "")
+                if child.get("class") is None:
+                    default_parent[""] = ""
+                    table = defaults.setdefault("", {})
+                    for sub in child:
+                        if sub.tag == "default":
+                            _parse_defaults(sub, "", defaults, default_parent)
+                        else:
+                            table.setdefault(sub.tag, {}).update(sub.attrib)
+                else:
+                    _parse_defaults(child, "<root>", defaults, default_parent)
+            elif child.tag == "worldbody":
+                worldbody = _parse_element(child, None)
+            elif child.tag == "actuator":
+                for a in child:
+                    actuators.append(_parse_element(a, None))
+            elif child.tag == "contact":
+                for c in child:
+                    if c.tag == "pair":
+                        contact_pairs.append(_parse_element(c, None))
+                    elif c.tag == "exclude":
+                        contact_excludes.append(_parse_element(c, None))
+            elif child.tag == "keyframe":
+                for k in child:
+                    if k.tag == "key":
+                        keyframes.append(_parse_element(k, None))
+            elif child.tag == "custom":
+                for n in child:
+                    if n.tag == "numeric":
+                        customs[n.get("name")] = np.fromstring(
+                            n.get("data", ""), sep=" ")
+            elif child.tag in ("asset", "visual", "statistic", "size",
+                              "tendon", "equality", "sensor", "deformable"):
+                pass  # visual / unused-by-runtime sections
+    walk_top(root)
+
+    if worldbody is None:
+        raise ValueError("MJCF file has no <worldbody>")
+
+    return MjcfSpec(
+        model_name=root.get("model", "model"),
+        compiler=compiler,
+        option=option,
+        option_flags=option_flags,
+        defaults=defaults,
+        default_parent=default_parent,
+        worldbody=worldbody,
+        actuators=actuators,
+        contact_pairs=contact_pairs,
+        contact_excludes=contact_excludes,
+        keyframes=keyframes,
+        customs=customs,
+    )

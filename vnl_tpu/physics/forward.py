@@ -1,0 +1,138 @@
+"""Forward dynamics pipeline and semi-implicit Euler integration.
+
+mj_forward/mj_step equivalents: position stage (FK, com quantities, CRB,
+collision, constraints), velocity stage (bias, passive), actuation,
+acceleration (smooth + constrained), then Euler integration with implicit
+joint damping — the pipeline the reference runs 5x per control step
+(/root/reference/envs/rodent.py:97-101,181).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vnl_tpu import math as vmath
+from vnl_tpu.physics import actuation as _actuation
+from vnl_tpu.physics import collision as _collision
+from vnl_tpu.physics import constraint as _constraint
+from vnl_tpu.physics import inertia as _inertia
+from vnl_tpu.physics import kinematics as _kinematics
+from vnl_tpu.physics import rne as _rne
+from vnl_tpu.physics import solver as _solver
+from vnl_tpu.physics.model import Data, DisableBit, IntegratorType, JointType, Model
+
+
+def make_data(m: Model, qpos: Optional[jax.Array] = None,
+              qvel: Optional[jax.Array] = None,
+              dtype=jnp.float32) -> Data:
+    """Fresh Data at qpos0 (or given state); call forward() to populate."""
+    nb, nv, nq = m.nbody, m.nv, m.nq
+    z = lambda *s: jnp.zeros(s, dtype)
+    quat0 = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
+    return Data(
+        qpos=jnp.asarray(qpos, dtype) if qpos is not None else m.qpos0.astype(dtype),
+        qvel=jnp.asarray(qvel, dtype) if qvel is not None else z(nv),
+        act=z(m.na), ctrl=z(m.nu),
+        xpos=z(nb, 3), xquat=quat0, xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (nb, 3, 3)),
+        xipos=z(nb, 3), xanchor=z(m.njnt, 3), xaxis=z(m.njnt, 3),
+        geom_xpos=z(m.ngeom, 3),
+        geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
+        subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
+        cvel=z(nb, 6), qM=z(nv, nv), qLD=z(nv, nv),
+        qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
+        actuator_force=z(m.nu), act_dot=z(m.na),
+        qfrc_smooth=z(nv), qacc_smooth=z(nv), qfrc_constraint=z(nv),
+        qacc=z(nv),
+        contact_dist=z(m.ncon_max), contact_pos=z(m.ncon_max, 3),
+        contact_frame=z(m.ncon_max, 3, 3), contact_force=z(m.ncon_max, 4),
+    )
+
+
+def fwd_position(m: Model, d: Data):
+    d = _kinematics.kinematics(m, d)
+    d = _kinematics.com_pos(m, d)
+    d = _inertia.crb(m, d)
+    con_dist, con_pos, con_frame, con_pair = _collision.collide(m, d)
+    d = d.replace(contact_dist=con_dist, contact_pos=con_pos,
+                  contact_frame=con_frame)
+    efc = _constraint.make_constraints(m, d, con_dist, con_pos, con_frame,
+                                       con_pair)
+    return d, efc
+
+
+def fwd_velocity(m: Model, d: Data):
+    cvel, cdof_dot = _rne.com_vel(m, d)
+    qfrc_bias = _rne.rne(m, d, cvel, cdof_dot)
+    qfrc_passive = _rne.passive(m, d)
+    return d.replace(cvel=cvel, qfrc_bias=qfrc_bias,
+                     qfrc_passive=qfrc_passive)
+
+
+def forward(m: Model, d: Data) -> Data:
+    """Full forward dynamics: populates derived fields and qacc."""
+    d, efc = fwd_position(m, d)
+    d = fwd_velocity(m, d)
+    force, qfrc_act, act_dot = _actuation.actuation(m, d)
+    d = d.replace(actuator_force=force, qfrc_actuator=qfrc_act,
+                  act_dot=act_dot)
+    qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+    qacc_smooth = _inertia.solve_m(d, qfrc_smooth)
+    qacc, qfrc_constraint, efc_force = _solver.solve(m, d, efc, qacc_smooth)
+    ncon = m.ncon_max
+    contact_force = (efc_force[-4 * ncon:].reshape(4, ncon).T
+                     if efc.nefc >= 4 * ncon and ncon else
+                     jnp.zeros((ncon, 4), d.qpos.dtype))
+    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
+                     qacc=qacc, qfrc_constraint=qfrc_constraint,
+                     contact_force=contact_force)
+
+
+def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
+    """qpos += dt * qvel with quaternion integration on free/ball joints."""
+    new = qpos
+    for j in range(m.njnt):
+        jt = JointType(int(m.jnt_type[j]))
+        qa, va = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
+        if jt == JointType.FREE:
+            new = new.at[qa:qa + 3].add(dt * qvel[va:va + 3])
+            q = vmath.quat_integrate(qpos[qa + 3:qa + 7], qvel[va + 3:va + 6], dt)
+            new = new.at[qa + 3:qa + 7].set(q)
+        elif jt == JointType.BALL:
+            q = vmath.quat_integrate(qpos[qa:qa + 4], qvel[va:va + 3], dt)
+            new = new.at[qa:qa + 4].set(q)
+        else:
+            new = new.at[qa].add(dt * qvel[va])
+    return new
+
+
+def integrate(m: Model, d: Data) -> Data:
+    """Semi-implicit Euler with implicit joint damping (mj_Euler)."""
+    dt = m.opt.timestep
+    qacc = d.qacc
+
+    damped = (np.any(np.asarray(m.dof_damping) != 0)
+              if isinstance(m.dof_damping, np.ndarray) else True)
+    if not (m.opt.disableflags & DisableBit.EULERDAMP):
+        # qvel += dt * (M + dt*diag(B))^-1 M qacc
+        MhB = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
+        L = jax.scipy.linalg.cholesky(MhB, lower=True)
+        rhs = d.qM @ qacc
+        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+        dv = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        qvel = d.qvel + dt * dv
+    else:
+        qvel = d.qvel + dt * qacc
+
+    act = d.act + dt * d.act_dot if m.na else d.act
+    qpos = _integrate_pos(m, d.qpos, qvel, dt)
+    return d.replace(qpos=qpos, qvel=qvel, act=act)
+
+
+def step(m: Model, d: Data) -> Data:
+    """One physics step: forward dynamics + Euler integration."""
+    d = forward(m, d)
+    return integrate(m, d)
