@@ -53,7 +53,10 @@ def main():
 
     rollout = jax.jit(rollout, donate_argnums=(0,))
 
-    # compile + warmup
+    # compile + warmup. Two calls: the second input reuses rollout-produced
+    # buffer layouts (donation), which triggers one extra compile.
+    state = rollout(state, rng)
+    state.reward.block_until_ready()
     state = rollout(state, rng)
     state.reward.block_until_ready()
 

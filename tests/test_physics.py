@@ -12,9 +12,16 @@ import mujoco
 import numpy as np
 import pytest
 
-jax.config.update("jax_enable_x64", True)
-
 from vnl_tpu import mjcf, physics
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _x64():
+    """fp64 for tight oracle comparisons, scoped to this module only (other
+    test modules run fp32 like the TPU runtime)."""
+    jax.config.update("jax_enable_x64", True)
+    yield
+    jax.config.update("jax_enable_x64", False)
 
 ASSETS = "/root/reference/assets"
 

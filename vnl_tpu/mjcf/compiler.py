@@ -549,6 +549,45 @@ class _Compiler:
                 dof_ancestor_mask[i, d] = True
                 d = dof_parent[d]
 
+        # --- tree-accumulation masks (prefix/suffix sums as matmuls) ---
+        body_ancestor = np.zeros((nbody, nbody), dtype=bool)
+        for b in range(nbody):
+            bb = b
+            while True:
+                body_ancestor[b, bb] = True
+                if bb == 0:
+                    break
+                bb = body_parentid[bb]
+        body_subtree_mask = body_ancestor.T.astype(np.float64)  # c in subtree(b)
+        body_chain_dof_mask = np.zeros((nbody, nv))
+        for b in range(1, nbody):
+            bb = b
+            while bb != 0:
+                a0 = body_dofadr[bb]
+                body_chain_dof_mask[b, a0:a0 + body_dofnum[bb]] = 1.0
+                bb = body_parentid[bb]
+        # dof_prefix_mask: dofs contributing to dof i's velocity snapshot:
+        # full chains of strict-ancestor bodies, earlier joints of the same
+        # body, and (free-joint rotation dofs) the joint's own translations.
+        dof_prefix_mask = np.zeros((nv, nv))
+        for b in range(1, nbody):
+            parent_chain = body_chain_dof_mask[body_parentid[b]]
+            jadr, jnum = body_jntadr[b], body_jntnum[b]
+            for j in range(jadr, jadr + jnum):
+                jt = JointType(jnt_type[j])
+                adr = jnt_dofadr[j]
+                ndof = _JOINT_NV[jt]
+                base = parent_chain.copy()
+                # earlier joints of the same body
+                for j2 in range(jadr, j):
+                    a2 = jnt_dofadr[j2]
+                    base[a2:a2 + _JOINT_NV[JointType(jnt_type[j2])]] = 1.0
+                for k in range(ndof):
+                    row = base.copy()
+                    if jt == JointType.FREE and k >= 3:
+                        row[adr:adr + 3] = 1.0  # translation precedes rotation
+                    dof_prefix_mask[adr + k] = row
+
         # --- qpos0 constants (diagApprox inverse weights) ---
         from vnl_tpu.mjcf import const0
         md = dict(
@@ -597,6 +636,9 @@ class _Compiler:
             actuator_biastype=actuator_biastype,
             pair_geom1=pair_geom1, pair_geom2=pair_geom2, pair_dim=pair_dim,
             dof_ancestor_mask=dof_ancestor_mask,
+            body_subtree_mask=body_subtree_mask,
+            body_chain_dof_mask=body_chain_dof_mask,
+            dof_prefix_mask=dof_prefix_mask,
             body_names=tuple(self.body_name),
             joint_names=tuple(self.jnt_name),
             geom_names=tuple(self.geom_name),

@@ -1,0 +1,56 @@
+"""Batched linear algebra shaped for the MXU.
+
+XLA's LAPACK-style cholesky/triangular_solve lower to long sequential scalar
+loops on TPU — catastrophic when the physics substep needs them 14x per
+step over thousands of vmapped envs.  ``inv_spd`` replaces the factor+solve
+pattern with a recursive Schur-complement inverse: O(log n) depth, all
+matmuls, so every downstream solve becomes a single batched matmul
+(M^-1 @ rhs) that rides the MXU.
+
+For the mass matrices here (nv<=73, armature-regularized, condition number
+~1e4) fp32 accuracy is ~1e-4 relative, verified against fp64 in tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def inv_spd(a: jax.Array) -> jax.Array:
+    """Inverse of a symmetric positive-definite matrix, batched.
+
+    a: (..., n, n) SPD.  Recursive 2x2 block Schur complement:
+      [[A, B], [B^T, C]]^-1 with S = C - B^T A^-1 B:
+        TL = A^-1 + (A^-1 B) S^-1 (A^-1 B)^T
+        TR = -(A^-1 B) S^-1
+        BR = S^-1
+    Depth log2(n); each level only batched matmuls.
+    """
+    n = a.shape[-1]
+    if n == 1:
+        return 1.0 / a
+    if n == 2:
+        a00 = a[..., 0, 0]
+        a01 = a[..., 0, 1]
+        a11 = a[..., 1, 1]
+        det = a00 * a11 - a01 * a01
+        inv_det = 1.0 / det
+        row0 = jnp.stack([a11 * inv_det, -a01 * inv_det], axis=-1)
+        row1 = jnp.stack([-a01 * inv_det, a00 * inv_det], axis=-1)
+        return jnp.stack([row0, row1], axis=-2)
+    k = n // 2
+    A = a[..., :k, :k]
+    B = a[..., :k, k:]
+    C = a[..., k:, k:]
+    Ai = inv_spd(A)
+    AiB = Ai @ B
+    S = C - jnp.swapaxes(B, -1, -2) @ AiB
+    Si = inv_spd(S)
+    TR = -AiB @ Si
+    TL = Ai - TR @ jnp.swapaxes(AiB, -1, -2)
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    out = jnp.concatenate([top, bot], axis=-2)
+    return 0.5 * (out + jnp.swapaxes(out, -1, -2))

@@ -1,19 +1,25 @@
 """Constraint assembly: joint limits + pyramidal contact rows.
 
-Produces the static-shape efc system (J, aref, R, frictionless/pyramid row
-structure) for MuJoCo's soft-constraint model:
+Builds the static-shape efc system for MuJoCo's soft-constraint model:
 
   aref_i = -b * (J qvel)_i - k * imp_i * pos_i
-  b = 2 / (dmax * timeconst),  k = imp / (dmax^2 * timeconst^2 * dampratio^2)
-  R_i = (1 - imp_i) / imp_i * diag(J M^-1 J^T)_i
+  b = 2 / (dmax * timeconst),  k = 1 / (dmax^2 * timeconst^2 * dampratio^2)
+  R_i = (1 - imp_i) / imp_i * diagApprox_i
 
-Design notes:
-- every candidate row always exists; rows whose constraint is inactive
-  (dist/pos beyond margin) get impedance ~0 => R ~ inf => ~zero force, which
-  keeps shapes static under jit (MJX-style masking).
-- R uses MuJoCo's diagApprox inverse weights (validated against the oracle's
-  efc_R): limits use dof_invweight0, pyramidal contact facets use
-  (body_invweight0[b1]+body_invweight0[b2]) * 2 * (1 + mu_k^2).
+TPU-first structure: the pyramidal facet Jacobian (4 rows per contact,
+J = Jn +- mu*Jt) is never materialized.  Constraints are kept factored:
+
+- limits: static one-hot dofs + traced side sign => J@x is a gather,
+  J^T f is a (nv, nlimit) constant matmul;
+- contacts: only the 3-row contact-frame Jacobian Jc (ncon, 3, nv) is
+  built — as G @ cdof with G = [frame | r x frame] (one small matmul, no
+  (ncon, nv, 3) cross-product intermediates) — and facet quantities are
+  +-mu combinations of the 3 base products.
+
+Every candidate row always exists; inactive rows get impedance ~0 =>
+R ~ inf => ~zero force, keeping shapes static under jit.
+diagApprox follows MuJoCo (validated vs oracle efc_R): limits use
+dof_invweight0; pyramidal facets use (iw1+iw2) * 2 * (1 + mu_k^2).
 """
 
 from __future__ import annotations
@@ -24,20 +30,61 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vnl_tpu.physics import inertia as _inertia
 from vnl_tpu.physics.model import Data, DisableBit, JointType, Model
 
 
 class EfcSystem(NamedTuple):
-    J: jax.Array        # (nefc, nv)
-    aref: jax.Array     # (nefc,)
-    R: jax.Array        # (nefc,) diagonal regularizer
-    D: jax.Array        # (nefc,) 1/R
-    pos: jax.Array      # (nefc,) violation (<=0 active side)
-    con_dist: jax.Array # (ncon,) contact distances (diagnostics)
-    con_pos: jax.Array
-    con_frame: jax.Array
-    nefc: int
+    """Factored constraint system (static shapes; ncon = m.ncon_max)."""
+
+    # joint limits
+    lim_dof: np.ndarray      # (nlimit,) static dof indices
+    lim_onehot: jax.Array    # (nlimit, nv) static one-hot rows
+    lim_sign: jax.Array      # (nlimit,) +-1 side
+    lim_aref: jax.Array      # (nlimit,)
+    lim_D: jax.Array         # (nlimit,)
+    lim_pos: jax.Array       # (nlimit,)
+    # contacts (pyramidal condim 1/3)
+    con_Jc: jax.Array        # (ncon, 3, nv) rows: normal, tan1, tan2
+    con_mu: jax.Array        # (ncon, 2) mu1, mu2
+    con_aref: jax.Array      # (ncon, 4) per-facet reference acceleration
+    con_D: jax.Array         # (ncon, 4) per-facet 1/R (0-masked rows)
+    con_pos: jax.Array       # (ncon,)
+    nlimit: int
+    ncon: int
+
+    @property
+    def nefc(self) -> int:
+        return self.nlimit + 4 * self.ncon
+
+    # ---- factored J products ----
+    def jx(self, x: jax.Array):
+        """Returns (lim_jx (nlimit,), con_fx (ncon, 4)) = J @ x by block."""
+        lim = self.lim_sign * x[jnp.asarray(self.lim_dof)] \
+            if self.nlimit else jnp.zeros(0, x.dtype)
+        if self.ncon:
+            base = jnp.einsum("cfv,v->cf", self.con_Jc, x)  # (ncon, 3)
+            n, t1, t2 = base[:, 0], base[:, 1], base[:, 2]
+            mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
+            fx = jnp.stack([n + mu1 * t1, n - mu1 * t1,
+                            n + mu2 * t2, n - mu2 * t2], axis=-1)
+        else:
+            fx = jnp.zeros((0, 4), x.dtype)
+        return lim, fx
+
+    def jt_f(self, lim_f: jax.Array, con_f: jax.Array) -> jax.Array:
+        """J^T @ f from per-block forces."""
+        nv = self.con_Jc.shape[-1] if self.ncon else self.lim_onehot.shape[-1]
+        out = jnp.zeros(nv, lim_f.dtype if self.nlimit else con_f.dtype)
+        if self.nlimit:
+            out = out + self.lim_onehot.T @ (self.lim_sign * lim_f)
+        if self.ncon:
+            mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
+            fn = con_f.sum(axis=-1)
+            ft1 = mu1 * (con_f[:, 0] - con_f[:, 1])
+            ft2 = mu2 * (con_f[:, 2] - con_f[:, 3])
+            fvec = jnp.stack([fn, ft1, ft2], axis=-1)      # (ncon, 3)
+            out = out + jnp.einsum("cfv,cf->v", self.con_Jc, fvec)
+        return out
 
 
 def _impedance(solimp, r):
@@ -56,11 +103,8 @@ def _impedance(solimp, r):
 
 
 def _kb(solref, solimp):
-    """Stiffness/damping from solref: b = 2/(dmax*tc), k = 1/(dmax^2 tc^2 dr^2).
-
-    aref = -b*vel - k*imp*pos (mj_makeImpedance semantics).  Negative solref
-    is the direct (-stiffness, -damping) format.
-    """
+    """b = 2/(dmax*tc), k = 1/(dmax^2 tc^2 dr^2); negative solref is the
+    direct (-stiffness, -damping) format (mj_makeImpedance)."""
     tc, dr = solref[..., 0], solref[..., 1]
     dmax = solimp[..., 1]
     b = 2.0 / jnp.maximum(dmax * tc, 1e-8)
@@ -71,23 +115,10 @@ def _kb(solref, solimp):
     return k, b
 
 
-def _body_dof_mask(m: Model) -> np.ndarray:
-    """(nbody, nv) static mask: dof v actuates body b (ancestor chain)."""
-    mask = np.zeros((m.nbody, m.nv), dtype=np.float64)
-    for b in range(1, m.nbody):
-        bb = b
-        while bb != 0:
-            a0 = m.body_dofadr[bb]
-            mask[b, a0:a0 + m.body_dofnum[bb]] = 1.0
-            bb = m.body_parentid[bb]
-    return mask
-
-
 def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
                      con_pair: np.ndarray) -> EfcSystem:
     dtype = d.qpos.dtype
     nv = m.nv
-    rows_J, rows_pos, rows_aref, rows_imp, rows_R = [], [], [], [], []
 
     disable_limit = bool(m.opt.disableflags & DisableBit.LIMIT)
     disable_contact = bool(m.opt.disableflags & DisableBit.CONTACT)
@@ -95,35 +126,44 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
 
     # ---------------- joint limits ----------------
     lim_ids = np.nonzero(np.asarray(m.jnt_limited))[0]
-    if len(lim_ids) and not (disable_limit or disable_cstr):
+    if disable_limit or disable_cstr:
+        lim_ids = lim_ids[:0]
+    nlimit = len(lim_ids)
+    if nlimit:
+        lim_dof = m.jnt_dofadr[lim_ids]
         qadr = jnp.asarray(m.jnt_qposadr[lim_ids])
-        dadr = jnp.asarray(m.jnt_dofadr[lim_ids])
         q = d.qpos[qadr]
         lo = m.jnt_range[jnp.asarray(lim_ids), 0]
         hi = m.jnt_range[jnp.asarray(lim_ids), 1]
         dist_lo = q - lo
         dist_hi = hi - q
-        lower_closer = dist_lo < dist_hi
         dist = jnp.minimum(dist_lo, dist_hi)
-        sign = jnp.where(lower_closer, 1.0, -1.0).astype(dtype)
+        sign = jnp.where(dist_lo < dist_hi, 1.0, -1.0).astype(dtype)
         margin = m.jnt_margin[jnp.asarray(lim_ids)]
         pos = dist - margin
-        J = jnp.zeros((len(lim_ids), nv), dtype)
-        J = J.at[jnp.arange(len(lim_ids)), dadr].set(sign)
-        active = pos < 0.0
+        onehot = np.zeros((nlimit, nv))
+        onehot[np.arange(nlimit), lim_dof] = 1.0
         solimp_l = m.jnt_solimp[jnp.asarray(lim_ids)]
-        imp = jnp.where(active, _impedance(solimp_l, pos), 1e-7)
+        imp = jnp.where(pos < 0.0, _impedance(solimp_l, pos), 1e-7)
         k, b = _kb(m.jnt_solref[jnp.asarray(lim_ids)], solimp_l)
-        vel = sign * d.qvel[dadr]
-        aref = -b * vel - k * imp * pos
-        rows_J.append(J); rows_pos.append(pos)
-        rows_aref.append(aref); rows_imp.append(imp)
-        rows_R.append(m.dof_invweight0[dadr])
+        vel = sign * d.qvel[jnp.asarray(lim_dof)]
+        lim_aref = -b * vel - k * imp * pos
+        R_lim = jnp.maximum((1.0 - imp) / imp
+                            * jnp.maximum(m.dof_invweight0[jnp.asarray(lim_dof)],
+                                          1e-12), 1e-10)
+        lim = dict(lim_dof=lim_dof, lim_onehot=jnp.asarray(onehot, dtype),
+                   lim_sign=sign, lim_aref=lim_aref, lim_D=1.0 / R_lim,
+                   lim_pos=pos)
+    else:
+        lim = dict(lim_dof=np.zeros(0, np.int32),
+                   lim_onehot=jnp.zeros((0, nv), dtype),
+                   lim_sign=jnp.zeros(0, dtype), lim_aref=jnp.zeros(0, dtype),
+                   lim_D=jnp.zeros(0, dtype), lim_pos=jnp.zeros(0, dtype))
 
-    # ---------------- contacts (pyramidal, condim 1 or 3) ----------------
-    ncon = m.ncon_max
-    if ncon and not (disable_contact or disable_cstr):
-        bd_mask = jnp.asarray(_body_dof_mask(m), dtype)
+    # ---------------- contacts ----------------
+    ncon = m.ncon_max if not (disable_contact or disable_cstr) else 0
+    if ncon:
+        bd_mask = jnp.asarray(m.body_chain_dof_mask, dtype)
         g1 = m.pair_geom1[con_pair]
         g2 = m.pair_geom2[con_pair]
         b1 = m.geom_bodyid[g1]
@@ -132,17 +172,16 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
         org1 = d.subtree_com[jnp.asarray(root[b1])]
         org2 = d.subtree_com[jnp.asarray(root[b2])]
 
-        def point_jac(org, body_ids):
-            # (ncon, nv, 3): velocity of contact point on each body per dof
-            rel = con_pos[:, None, :] - org[:, None, :]
-            ang = d.cdof[None, :, :3]
-            lin = d.cdof[None, :, 3:]
-            jp = lin + jnp.cross(ang, jnp.broadcast_to(rel, (ncon, nv, 3)))
-            return jp * bd_mask[jnp.asarray(body_ids)][..., None]
+        def side_jac(org, body_ids):
+            # rows of G: [frame | r x frame]; Jc_side = G @ cdof6^T, masked
+            r = con_pos - org                         # (ncon, 3)
+            F = con_frame                             # (ncon, 3, 3)
+            rxF = jnp.cross(jnp.broadcast_to(r[:, None, :], F.shape), F)
+            G = jnp.concatenate([rxF, F], axis=-1)    # (ncon, 3, 6): [ang|lin]
+            Jc = jnp.einsum("cfk,vk->cfv", G, d.cdof)
+            return Jc * bd_mask[jnp.asarray(body_ids)][:, None, :]
 
-        jp_rel = point_jac(org2, b2) - point_jac(org1, b1)  # (ncon, nv, 3)
-        # project on contact frame rows: (ncon, 3, nv)
-        Jc = jnp.einsum("cfi,cvi->cfv", con_frame, jp_rel)
+        con_Jc = side_jac(org2, b2) - side_jac(org1, b1)
 
         pair = jnp.asarray(con_pair)
         margin = m.pair_margin[pair]
@@ -155,53 +194,39 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
 
         mu1 = m.pair_friction[pair, 0]
         mu2 = m.pair_friction[pair, 1]
-        Jn, Jt1, Jt2 = Jc[:, 0], Jc[:, 1], Jc[:, 2]
-        condim = m.pair_dim[con_pair]  # static numpy
-        pyramid = condim >= 3
+        con_mu = jnp.stack([mu1, mu2], axis=-1)
+        condim = m.pair_dim[con_pair]                  # static numpy
+        pyramid = jnp.asarray(condim >= 3, dtype)
 
-        facets = [
-            Jn + mu1[:, None] * Jt1,
-            Jn - mu1[:, None] * Jt1,
-            Jn + mu2[:, None] * Jt2,
-            Jn - mu2[:, None] * Jt2,
-        ]
-        pyr_mask = jnp.asarray(pyramid, dtype)
-        fless_mask = jnp.asarray(~pyramid, dtype)
+        # facet velocities and aref
+        base_vel = jnp.einsum("cfv,v->cf", con_Jc, d.qvel)
+        nvl, t1v, t2v = base_vel[:, 0], base_vel[:, 1], base_vel[:, 2]
+        fvel = jnp.stack([nvl + mu1 * t1v, nvl - mu1 * t1v,
+                          nvl + mu2 * t2v, nvl - mu2 * t2v], axis=-1)
+        con_aref = -b[:, None] * fvel - (k * imp * pos)[:, None]
+
         iw_sum = (m.body_invweight0[jnp.asarray(b1)]
                   + m.body_invweight0[jnp.asarray(b2)])
-        facet_mu = [mu1, mu1, mu2, mu2]
-        for fi, Jf in enumerate(facets):
-            # frictionless contacts contribute only through facet 0 as Jn
-            if fi == 0:
-                Jrow = Jf * pyr_mask[:, None] + Jn * fless_mask[:, None]
-                row_scale = jnp.ones(ncon, dtype)
-            else:
-                Jrow = Jf * pyr_mask[:, None]
-                row_scale = pyr_mask
-            vel = Jrow @ d.qvel
-            aref = (-b * vel - k * imp * pos) * row_scale
-            rows_J.append(Jrow)
-            rows_pos.append(pos)
-            rows_aref.append(aref)
-            rows_imp.append(jnp.where(row_scale > 0, imp, 1e-7))
-            mu_f = facet_mu[fi]
-            diag_pyr = iw_sum * 2.0 * (1.0 + mu_f * mu_f)
-            rows_R.append(jnp.where(pyr_mask > 0, diag_pyr, iw_sum))
+        mu_f = jnp.stack([mu1, mu1, mu2, mu2], axis=-1)
+        diag = jnp.where(pyramid[:, None] > 0,
+                         iw_sum[:, None] * 2.0 * (1.0 + mu_f * mu_f),
+                         iw_sum[:, None])
+        R_con = jnp.maximum(((1.0 - imp) / imp)[:, None]
+                            * jnp.maximum(diag, 1e-12), 1e-10)
+        con_D = 1.0 / R_con
+        # frictionless contacts act through facet 0 only (mu=0 there makes
+        # all facets duplicates of the normal row => zero the extra three)
+        facet_on = jnp.concatenate(
+            [jnp.ones((ncon, 1), dtype),
+             jnp.broadcast_to(pyramid[:, None], (ncon, 3))], axis=-1)
+        con_D = con_D * facet_on
+        con = dict(con_Jc=con_Jc, con_mu=con_mu, con_aref=con_aref * facet_on,
+                   con_D=con_D, con_pos=pos)
+    else:
+        con = dict(con_Jc=jnp.zeros((0, 3, nv), dtype),
+                   con_mu=jnp.zeros((0, 2), dtype),
+                   con_aref=jnp.zeros((0, 4), dtype),
+                   con_D=jnp.zeros((0, 4), dtype),
+                   con_pos=jnp.zeros(0, dtype))
 
-    if not rows_J:
-        z = jnp.zeros((0,), dtype)
-        return EfcSystem(jnp.zeros((0, nv), dtype), z, z, z, z,
-                         con_dist, con_pos, con_frame, 0)
-
-    J = jnp.concatenate(rows_J)
-    pos = jnp.concatenate(rows_pos)
-    aref = jnp.concatenate(rows_aref)
-    imp = jnp.concatenate(rows_imp)
-    diag_approx = jnp.concatenate(rows_R)
-
-    # R = (1-d)/d * diagApprox
-    R = jnp.maximum((1.0 - imp) / imp * jnp.maximum(diag_approx, 1e-12),
-                    1e-10)
-    return EfcSystem(J=J, aref=aref, R=R, D=1.0 / R, pos=pos,
-                     con_dist=con_dist, con_pos=con_pos, con_frame=con_frame,
-                     nefc=int(J.shape[0]))
+    return EfcSystem(nlimit=nlimit, ncon=ncon, **lim, **con)

@@ -42,7 +42,7 @@ def make_data(m: Model, qpos: Optional[jax.Array] = None,
         geom_xpos=z(m.ngeom, 3),
         geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
         subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
-        cvel=z(nb, 6), qM=z(nv, nv), qLD=z(nv, nv),
+        cvel=z(nb, 6), qM=z(nv, nv), qMinv=z(nv, nv),
         qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
         actuator_force=z(m.nu), act_dot=z(m.na),
         qfrc_smooth=z(nv), qacc_smooth=z(nv), qfrc_constraint=z(nv),
@@ -81,10 +81,9 @@ def forward(m: Model, d: Data) -> Data:
                   act_dot=act_dot)
     qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
     qacc_smooth = _inertia.solve_m(d, qfrc_smooth)
-    qacc, qfrc_constraint, efc_force = _solver.solve(m, d, efc, qacc_smooth)
+    qacc, qfrc_constraint, con_force = _solver.solve(m, d, efc, qacc_smooth)
     ncon = m.ncon_max
-    contact_force = (efc_force[-4 * ncon:].reshape(4, ncon).T
-                     if efc.nefc >= 4 * ncon and ncon else
+    contact_force = (con_force if efc.ncon else
                      jnp.zeros((ncon, 4), d.qpos.dtype))
     return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
                      qacc=qacc, qfrc_constraint=qfrc_constraint,
@@ -92,20 +91,27 @@ def forward(m: Model, d: Data) -> Data:
 
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
-    """qpos += dt * qvel with quaternion integration on free/ball joints."""
+    """qpos += dt * qvel with quaternion integration on free/ball joints.
+
+    Hinge/slide dofs integrate in ONE gather+scatter over static index
+    tables; quaternion joints (typically just the free root) are handled
+    individually."""
     new = qpos
-    for j in range(m.njnt):
+    hs = np.isin(m.jnt_type, (int(JointType.HINGE), int(JointType.SLIDE)))
+    if hs.any():
+        qadr = jnp.asarray(m.jnt_qposadr[hs])
+        dadr = jnp.asarray(m.jnt_dofadr[hs])
+        new = new.at[qadr].add(dt * qvel[dadr])
+    for j in np.nonzero(~hs)[0]:
         jt = JointType(int(m.jnt_type[j]))
         qa, va = int(m.jnt_qposadr[j]), int(m.jnt_dofadr[j])
         if jt == JointType.FREE:
             new = new.at[qa:qa + 3].add(dt * qvel[va:va + 3])
             q = vmath.quat_integrate(qpos[qa + 3:qa + 7], qvel[va + 3:va + 6], dt)
             new = new.at[qa + 3:qa + 7].set(q)
-        elif jt == JointType.BALL:
+        else:  # BALL
             q = vmath.quat_integrate(qpos[qa:qa + 4], qvel[va:va + 3], dt)
             new = new.at[qa:qa + 4].set(q)
-        else:
-            new = new.at[qa].add(dt * qvel[va])
     return new
 
 
@@ -118,11 +124,9 @@ def integrate(m: Model, d: Data) -> Data:
               if isinstance(m.dof_damping, np.ndarray) else True)
     if not (m.opt.disableflags & DisableBit.EULERDAMP):
         # qvel += dt * (M + dt*diag(B))^-1 M qacc
+        from vnl_tpu.ops.linalg import inv_spd
         MhB = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
-        L = jax.scipy.linalg.cholesky(MhB, lower=True)
-        rhs = d.qM @ qacc
-        y = jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
-        dv = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+        dv = inv_spd(MhB) @ (d.qM @ qacc)
         qvel = d.qvel + dt * dv
     else:
         qvel = d.qvel + dt * qacc

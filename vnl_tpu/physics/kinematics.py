@@ -137,17 +137,10 @@ def com_pos(m: Model, d: Data) -> Data:
     """
     dtype = d.qpos.dtype
     mass = m.body_mass
-    # subtree com: backward accumulation over levels
-    msum = mass[:, None] * d.xipos
-    mtot = mass
-    sub_sum = msum
-    sub_m = mtot
-    # accumulate children into parents, deepest level first
-    for level in reversed(_levels(m)):
-        parent = m.body_parentid[level]
-        # group-by-parent scatter-add (parents may repeat)
-        sub_sum = sub_sum.at[jnp.asarray(parent)].add(sub_sum[jnp.asarray(level)])
-        sub_m = sub_m.at[jnp.asarray(parent)].add(sub_m[jnp.asarray(level)])
+    # subtree com as ONE mask matmul (body_subtree_mask is static)
+    sub_mask = jnp.asarray(m.body_subtree_mask, dtype)
+    sub_sum = sub_mask @ (mass[:, None] * d.xipos)
+    sub_m = sub_mask @ mass
     subtree_com = sub_sum / jnp.maximum(sub_m, 1e-12)[:, None]
 
     # common origin per body: subtree com of its root body

@@ -164,6 +164,12 @@ class Model:
     pair_dim: Any = _static()        # (npair,) condim
     # dof ancestry mask: madr[i, j] = 1 if dof j is an ancestor-or-self of i
     dof_ancestor_mask: Any = _static()  # (nv, nv) bool numpy
+    # tree-accumulation masks: turn all kinematic-tree prefix/suffix sums
+    # into single (batched) matmuls instead of level-by-level scatters
+    body_subtree_mask: Any = _static()   # (nbody, nbody): c in subtree(b)
+    body_chain_dof_mask: Any = _static() # (nbody, nv): dof in chain of b
+    dof_prefix_mask: Any = _static()     # (nv, nv): dof j precedes dof i
+                                         # (MuJoCo per-joint snapshot rule)
     # ---- names (static) ----
     body_names: Tuple[str, ...] = _static()
     joint_names: Tuple[str, ...] = _static()
@@ -257,7 +263,7 @@ class Data:
     cdof: jax.Array             # (nv, 6) com-frame motion axes
     cvel: jax.Array             # (nbody, 6) com-frame body velocity
     qM: jax.Array               # (nv, nv) dense mass matrix
-    qLD: jax.Array              # (nv, nv) cholesky factor of qM
+    qMinv: jax.Array            # (nv, nv) inverse mass matrix (Schur)
     qfrc_bias: jax.Array        # (nv,)
     qfrc_passive: jax.Array     # (nv,)
     qfrc_actuator: jax.Array    # (nv,)

@@ -9,90 +9,122 @@ All reference-relevant rows (joint limits, pyramidal contact facets) are
 one-sided inequalities, active when jar_i < 0.  The solution x is qacc and
 the constraint force is f = -D * [jar<0] * jar, qfrc_constraint = J^T f.
 
-TPU-first choices: fixed iteration counts (no data-dependent early exit, so
-the epoch stays one straight-line XLA program), M-preconditioned
-Polak-Ribiere CG (reusing the cached Cholesky of M), and an exact
-piecewise-quadratic line search iterated ls_iterations times.
+TPU-first choices: fixed iteration counts (no data-dependent exits — the
+epoch stays one straight-line XLA program); the factored EfcSystem keeps
+J products as gathers + one (ncon,3,nv) einsum instead of a dense
+(nefc, nv) matrix; M^-1 preconditioning (CG) and the Newton step are
+single matmuls against cached Schur inverses.
 """
 
 from __future__ import annotations
 
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 
-from vnl_tpu.physics import inertia as _inertia
 from vnl_tpu.physics.constraint import EfcSystem
 from vnl_tpu.physics.model import Data, Model, SolverType
 
 
-def _line_search(m: Model, x, p, a_smooth, Mx_minus_a, Mp, jar, Jp, D):
-    """Exact line search on the piecewise-quadratic cost along p.
+def _forces(efc: EfcSystem, lim_jx, con_fx):
+    """Active-set forces f = -D [jar<0] jar per block."""
+    lim_jar = lim_jx - efc.lim_aref
+    con_jar = con_fx - efc.con_aref
+    lim_f = -efc.lim_D * (lim_jar < 0) * lim_jar
+    con_f = -efc.con_D * (con_jar < 0) * con_jar
+    return lim_jar, con_jar, lim_f, con_f
 
-    For a fixed active set the cost is quadratic in alpha with minimizer
-    alpha* = -(p^T M (x-a) + sum D act jar Jp) / (p^T M p + sum D act Jp^2);
-    iterate active-set refinement ls_iterations times.
-    """
+
+def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
+                 lim_jar, con_jar, lim_jp, con_jp):
+    """Exact line search on the piecewise-quadratic cost along p."""
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
-    alpha = jnp.zeros((), x.dtype)
+    alpha = jnp.zeros((), p.dtype)
     for _ in range(max(m.opt.ls_iterations, 1)):
-        act = (jar + alpha * Jp) < 0.0
-        num = quad_num0 + jnp.sum(D * act * jar * Jp)
-        den = quad_den0 + jnp.sum(D * act * Jp * Jp)
+        lim_act = (lim_jar + alpha * lim_jp) < 0.0
+        con_act = (con_jar + alpha * con_jp) < 0.0
+        num = (quad_num0
+               + jnp.sum(efc.lim_D * lim_act * lim_jar * lim_jp)
+               + jnp.sum(efc.con_D * con_act * con_jar * con_jp))
+        den = (quad_den0
+               + jnp.sum(efc.lim_D * lim_act * lim_jp * lim_jp)
+               + jnp.sum(efc.con_D * con_act * con_jp * con_jp))
         alpha = -num / jnp.maximum(den, 1e-12)
     return alpha
 
 
-def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array):
-    """Runs the configured solver; returns (qacc, qfrc_constraint, efc_force)."""
+def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
+          ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Runs the configured solver.
+
+    Returns (qacc, qfrc_constraint, contact_facet_forces (ncon, 4))."""
     dtype = qacc_smooth.dtype
     if efc.nefc == 0:
-        return qacc_smooth, jnp.zeros(m.nv, dtype), jnp.zeros(0, dtype)
+        return qacc_smooth, jnp.zeros(m.nv, dtype), jnp.zeros((0, 4), dtype)
 
-    J, aref, D = efc.J, efc.aref, efc.D
-
-    def grad_at(x, jar):
-        act = jar < 0.0
-        force = -D * act * jar
-        g = d.qM @ (x - qacc_smooth) - J.T @ force
-        return g, force
+    def grad_at(x, lim_jx, con_fx):
+        _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
+        g = d.qM @ (x - qacc_smooth) - efc.jt_f(lim_f, con_f)
+        return g
 
     x = qacc_smooth
-    jar = J @ x - aref
+    lim_jx, con_fx = efc.jx(x)
 
     if m.opt.solver == int(SolverType.NEWTON):
+        from vnl_tpu.ops.linalg import inv_spd
         for _ in range(max(m.opt.iterations, 1)):
-            g, _ = grad_at(x, jar)
-            act = (jar < 0.0).astype(dtype)
-            H = d.qM + (J.T * (D * act)) @ J
-            L = jax.scipy.linalg.cholesky(H, lower=True)
-            y = jax.scipy.linalg.solve_triangular(L, -g, lower=True)
-            p = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
-            Jp = J @ p
+            lim_jar = lim_jx - efc.lim_aref
+            con_jar = con_fx - efc.con_aref
+            g = grad_at(x, lim_jx, con_fx)
+            # H = M + J^T diag(D act) J assembled from the factored blocks
+            lim_w = efc.lim_D * (lim_jar < 0)
+            H = d.qM + (efc.lim_onehot.T * lim_w) @ efc.lim_onehot
+            if efc.ncon:
+                con_w = efc.con_D * (con_jar < 0)      # (ncon, 4)
+                mu1, mu2 = efc.con_mu[:, 0], efc.con_mu[:, 1]
+                # facet rows in the (n, t1, t2) basis
+                c = jnp.stack([
+                    jnp.stack([jnp.ones_like(mu1), mu1, jnp.zeros_like(mu1)], -1),
+                    jnp.stack([jnp.ones_like(mu1), -mu1, jnp.zeros_like(mu1)], -1),
+                    jnp.stack([jnp.ones_like(mu2), jnp.zeros_like(mu2), mu2], -1),
+                    jnp.stack([jnp.ones_like(mu2), jnp.zeros_like(mu2), -mu2], -1),
+                ], axis=1)                              # (ncon, 4, 3)
+                W = jnp.einsum("ck,ckf,ckg->cfg", con_w, c, c)  # (ncon,3,3)
+                H = H + jnp.einsum("cfv,cfg,cgw->vw", efc.con_Jc, W,
+                                   efc.con_Jc)
+            p = -(inv_spd(H) @ g)
+            lim_jp, con_jp = efc.jx(p)
             Mp = d.qM @ p
             Mx_a = d.qM @ (x - qacc_smooth)
-            alpha = _line_search(m, x, p, qacc_smooth, Mx_a, Mp, jar, Jp, D)
+            alpha = _line_search(m, efc, p, Mx_a, Mp, lim_jar, con_jar,
+                                 lim_jp, con_jp)
             x = x + alpha * p
-            jar = jar + alpha * Jp
+            lim_jx = lim_jx + alpha * lim_jp
+            con_fx = con_fx + alpha * con_jp
     else:  # CG (PGS falls back to CG)
-        g, _ = grad_at(x, jar)
-        Mg = _inertia.solve_m(d, g)
+        g = grad_at(x, lim_jx, con_fx)
+        Mg = d.qMinv @ g
         p = -Mg
         g_dot_Mg = jnp.dot(g, Mg)
         for _ in range(max(m.opt.iterations, 1)):
-            Jp = J @ p
+            lim_jp, con_jp = efc.jx(p)
             Mp = d.qM @ p
             Mx_a = d.qM @ (x - qacc_smooth)
-            alpha = _line_search(m, x, p, qacc_smooth, Mx_a, Mp, jar, Jp, D)
+            alpha = _line_search(m, efc, p, Mx_a, Mp,
+                                 lim_jx - efc.lim_aref,
+                                 con_fx - efc.con_aref, lim_jp, con_jp)
             x = x + alpha * p
-            jar = jar + alpha * Jp
-            g_new, _ = grad_at(x, jar)
-            Mg_new = _inertia.solve_m(d, g_new)
+            lim_jx = lim_jx + alpha * lim_jp
+            con_fx = con_fx + alpha * con_jp
+            g_new = grad_at(x, lim_jx, con_fx)
+            Mg_new = d.qMinv @ g_new
             num = jnp.dot(g_new, Mg_new) - jnp.dot(g, Mg_new)
             beta = jnp.maximum(0.0, num / jnp.maximum(g_dot_Mg, 1e-12))
             p = -Mg_new + beta * p
             g, Mg, g_dot_Mg = g_new, Mg_new, jnp.dot(g_new, Mg_new)
 
-    _, force = grad_at(x, jar)
-    qfrc_constraint = J.T @ force
-    return x, qfrc_constraint, force
+    _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
+    qfrc_constraint = efc.jt_f(lim_f, con_f)
+    return x, qfrc_constraint, con_f
