@@ -76,8 +76,16 @@ def main(argv=None):
             if isinstance(v, (int, float)) and
             ("episode_reward" in k or "sps" in k)))
 
+    from vnl_tpu.training.eval_callback import EvalCallback
+    eval_cb = None
+
     def policy_params_fn(num_steps, make_policy, params):
-        ckpt_lib.save_params(os.path.join(model_path, str(num_steps)), params)
+        nonlocal eval_cb
+        if eval_cb is None:
+            eval_cb = EvalCallback(env, make_policy, model_path, logger,
+                                   episode_length=tc["episode_length"],
+                                   render=bool(tc.get("render_eval", True)))
+        eval_cb(num_steps, make_policy, params)
 
     network_factory = functools.partial(
         models_lib.make_intention_ppo_networks,

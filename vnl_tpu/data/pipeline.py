@@ -1,0 +1,147 @@
+"""Multi-clip preprocessing pipeline.
+
+Finishes the reference's legacy pipeline capability
+(/root/reference/mocap_preprocess.py): chunk a long STAC recording into
+fixed-length clips (:74-96), batch-process them on device (the reference
+notes "once this is all ported to jax, it can be vmapped" — here it is),
+bundle them as a ClipCollection/ClipLibrary, and round-trip the h5 layout
+(clip_N/walkers/walker_0/<feature>, :379-411) plus clip pickles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import pickle
+from typing import Dict, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vnl_tpu.data.preprocess import (compute_velocity_from_kinematics,
+                                     extract_features)
+from vnl_tpu.data.reference_clip import ClipLibrary, ReferenceClip
+from vnl_tpu.physics.model import Model
+
+
+@dataclasses.dataclass
+class ClipCollection:
+    """Mocap clip curriculum metadata (mocap_preprocess.py:343-376)."""
+
+    ids: Sequence[str]
+    start_steps: Optional[Sequence[int]] = None
+    end_steps: Optional[Sequence[int]] = None
+    weights: Optional[Sequence[Union[int, float]]] = None
+
+    def __post_init__(self):
+        n = len(self.ids)
+        if self.start_steps is None:
+            self.start_steps = (0,) * n
+        if self.weights is None:
+            self.weights = (1.0,) * n
+        if len(self.start_steps) != n or (
+                self.end_steps is not None and len(self.end_steps) != n) or \
+                len(self.weights) != n:
+            raise ValueError("ClipCollection validation failed.")
+        if np.any(np.asarray(self.weights) < 0):
+            raise ValueError("ClipCollection weights must be >= 0")
+
+
+def process_recording(model: Model, qpos_recording: np.ndarray,
+                      clip_length: int = 250, max_qvel: float = 20.0,
+                      dt: float = 0.02) -> ClipLibrary:
+    """Chunks a (T, nq) recording into clips and processes them batched.
+
+    The FK feature scan runs vmapped over all clips at once (one XLA
+    program), producing a device-resident ClipLibrary.
+    """
+    T = qpos_recording.shape[0]
+    n_clips = T // clip_length
+    q = jnp.asarray(qpos_recording[: n_clips * clip_length]).reshape(
+        n_clips, clip_length, -1)
+
+    def one(qc):
+        clip = extract_features(model, qc)
+        q_pad = jnp.concatenate([qc, qc[-1:]], axis=0)
+        qvel = compute_velocity_from_kinematics(q_pad, dt)
+        return clip.replace(
+            velocity=qvel[:, :3],
+            angular_velocity=qvel[:, 3:6],
+            joints_velocity=jnp.clip(qvel[:, 6:], -max_qvel, max_qvel))
+
+    clips = jax.jit(jax.vmap(one))(q)
+    return ClipLibrary(clips=clips,
+                       weights=jnp.ones((n_clips,), jnp.float32))
+
+
+def save_clip_pickle(path: str, clip: ReferenceClip) -> str:
+    """Pickles a clip as plain-numpy leaves (loadable anywhere)."""
+    host = jax.tree_util.tree_map(
+        lambda x: None if x is None else np.asarray(x), clip)
+    with open(path, "wb") as f:
+        pickle.dump(dataclasses.asdict(host) if dataclasses.is_dataclass(host)
+                    else host.__dict__, f)
+    return path
+
+
+def save_features_h5(path: str, library: ClipLibrary,
+                     dt: float = 0.02) -> str:
+    """Writes the reference h5 layout: clip_N/walkers/walker_0/<feature>
+    with (time-last) transposed arrays (mocap_preprocess.py:388-411)."""
+    import h5py
+    with h5py.File(path, "w") as f:
+        for i in range(library.num_clips):
+            clip = jax.tree_util.tree_map(
+                lambda x: None if x is None else np.asarray(x[i]),
+                library.clips)
+            name = f"clip_{i}"
+            grp = f.create_group(name)
+            n_steps = clip.position.shape[0]
+            grp.attrs["num_steps"] = n_steps
+            grp.attrs["dt"] = dt
+            f.create_group(f"/{name}/walkers")
+            f.create_group(f"/{name}/props")
+            wg = f.create_group(f"/{name}/walkers/walker_0")
+            for field in dataclasses.fields(clip):
+                v = getattr(clip, field.name)
+                if v is None:
+                    continue
+                v = np.asarray(v)
+                if v.ndim == 3:
+                    wg[field.name] = np.transpose(v, (1, 2, 0)).reshape(
+                        -1, n_steps)
+                elif v.ndim == 2:
+                    wg[field.name] = np.swapaxes(v, 0, 1)
+                else:
+                    wg[field.name] = v
+    return path
+
+
+def load_features_h5(path: str) -> ClipLibrary:
+    """Reads the h5 layout back into a ClipLibrary (inverse of save)."""
+    import h5py
+    clips = []
+    with h5py.File(path, "r") as f:
+        names = sorted([k for k in f.keys() if k.startswith("clip_")],
+                       key=lambda s: int(s.split("_")[1]))
+        for name in names:
+            wg = f[f"{name}/walkers/walker_0"]
+            n_steps = int(f[name].attrs["num_steps"])
+            kwargs: Dict[str, np.ndarray] = {}
+            for k in wg.keys():
+                v = np.asarray(wg[k])
+                if v.ndim == 2 and v.shape[1] == n_steps and \
+                        v.shape[0] % 3 == 0 and v.shape[0] > 12:
+                    # (flat, T) <- (T, n, 3)
+                    kwargs[k] = np.transpose(
+                        v.reshape(-1, 3 if k != "body_quaternions" else 4,
+                                  n_steps), (2, 0, 1))
+                elif v.ndim == 2:
+                    kwargs[k] = np.swapaxes(v, 0, 1)
+                else:
+                    kwargs[k] = v
+            valid = {fl.name for fl in dataclasses.fields(ReferenceClip)}
+            clips.append(ReferenceClip(
+                **{k: jnp.asarray(v) for k, v in kwargs.items()
+                   if k in valid}))
+    return ClipLibrary.from_clips(clips)

@@ -38,11 +38,12 @@ def _forces(efc: EfcSystem, lim_jx, con_fx):
 
 def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
                  lim_jar, con_jar, lim_jp, con_jp):
-    """Exact line search on the piecewise-quadratic cost along p."""
+    """Exact line search on the piecewise-quadratic cost along p
+    (fori_loop body: active-set refinement at fixed trip count)."""
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
-    alpha = jnp.zeros((), p.dtype)
-    for _ in range(max(m.opt.ls_iterations, 1)):
+
+    def body(_, alpha):
         lim_act = (lim_jar + alpha * lim_jp) < 0.0
         con_act = (con_jar + alpha * con_jp) < 0.0
         num = (quad_num0
@@ -51,8 +52,10 @@ def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
         den = (quad_den0
                + jnp.sum(efc.lim_D * lim_act * lim_jp * lim_jp)
                + jnp.sum(efc.con_D * con_act * con_jp * con_jp))
-        alpha = -num / jnp.maximum(den, 1e-12)
-    return alpha
+        return -num / jnp.maximum(den, 1e-12)
+
+    return jax.lax.fori_loop(0, max(m.opt.ls_iterations, 1), body,
+                             jnp.zeros((), p.dtype))
 
 
 def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
@@ -72,9 +75,12 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
     x = qacc_smooth
     lim_jx, con_fx = efc.jx(x)
 
+    n_iter = max(m.opt.iterations, 1)
     if m.opt.solver == int(SolverType.NEWTON):
         from vnl_tpu.ops.linalg import inv_spd
-        for _ in range(max(m.opt.iterations, 1)):
+
+        def newton_iter(carry, _):
+            x, lim_jx, con_fx = carry
             lim_jar = lim_jx - efc.lim_aref
             con_jar = con_fx - efc.con_aref
             g = grad_at(x, lim_jx, con_fx)
@@ -84,14 +90,15 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
             if efc.ncon:
                 con_w = efc.con_D * (con_jar < 0)      # (ncon, 4)
                 mu1, mu2 = efc.con_mu[:, 0], efc.con_mu[:, 1]
-                # facet rows in the (n, t1, t2) basis
+                one = jnp.ones_like(mu1)
+                zero = jnp.zeros_like(mu1)
                 c = jnp.stack([
-                    jnp.stack([jnp.ones_like(mu1), mu1, jnp.zeros_like(mu1)], -1),
-                    jnp.stack([jnp.ones_like(mu1), -mu1, jnp.zeros_like(mu1)], -1),
-                    jnp.stack([jnp.ones_like(mu2), jnp.zeros_like(mu2), mu2], -1),
-                    jnp.stack([jnp.ones_like(mu2), jnp.zeros_like(mu2), -mu2], -1),
+                    jnp.stack([one, mu1, zero], -1),
+                    jnp.stack([one, -mu1, zero], -1),
+                    jnp.stack([one, zero, mu2], -1),
+                    jnp.stack([one, zero, -mu2], -1),
                 ], axis=1)                              # (ncon, 4, 3)
-                W = jnp.einsum("ck,ckf,ckg->cfg", con_w, c, c)  # (ncon,3,3)
+                W = jnp.einsum("ck,ckf,ckg->cfg", con_w, c, c)
                 H = H + jnp.einsum("cfv,cfg,cgw->vw", efc.con_Jc, W,
                                    efc.con_Jc)
             p = -(inv_spd(H) @ g)
@@ -100,15 +107,19 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
             Mx_a = d.qM @ (x - qacc_smooth)
             alpha = _line_search(m, efc, p, Mx_a, Mp, lim_jar, con_jar,
                                  lim_jp, con_jp)
-            x = x + alpha * p
-            lim_jx = lim_jx + alpha * lim_jp
-            con_fx = con_fx + alpha * con_jp
+            return (x + alpha * p, lim_jx + alpha * lim_jp,
+                    con_fx + alpha * con_jp), ()
+
+        (x, lim_jx, con_fx), _ = jax.lax.scan(
+            newton_iter, (x, lim_jx, con_fx), (), length=n_iter)
     else:  # CG (PGS falls back to CG)
         g = grad_at(x, lim_jx, con_fx)
         Mg = d.qMinv @ g
         p = -Mg
         g_dot_Mg = jnp.dot(g, Mg)
-        for _ in range(max(m.opt.iterations, 1)):
+
+        def cg_iter(carry, _):
+            x, lim_jx, con_fx, g, Mg, g_dot_Mg, p = carry
             lim_jp, con_jp = efc.jx(p)
             Mp = d.qM @ p
             Mx_a = d.qM @ (x - qacc_smooth)
@@ -123,7 +134,12 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
             num = jnp.dot(g_new, Mg_new) - jnp.dot(g, Mg_new)
             beta = jnp.maximum(0.0, num / jnp.maximum(g_dot_Mg, 1e-12))
             p = -Mg_new + beta * p
-            g, Mg, g_dot_Mg = g_new, Mg_new, jnp.dot(g_new, Mg_new)
+            return (x, lim_jx, con_fx, g_new, Mg_new,
+                    jnp.dot(g_new, Mg_new), p), ()
+
+        (x, lim_jx, con_fx, *_), _ = jax.lax.scan(
+            cg_iter, (x, lim_jx, con_fx, g, Mg, g_dot_Mg, p), (),
+            length=n_iter)
 
     _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
     qfrc_constraint = efc.jt_f(lim_f, con_f)
