@@ -126,6 +126,23 @@ def test_multiclip_env():
     assert np.isfinite(float(state.reward))
 
 
+def test_humanoid_tracking_default_clip():
+    """HumanoidTracking runs end-to-end on the synthetic standing clip
+    (BASELINE config #3 analogue; the reference clip pickle is not
+    shipped)."""
+    env = envs.get_environment("humanoidtracking")
+    state = jax.jit(env.reset)(jax.random.PRNGKey(0))
+    assert float(state.info["termination_error"]) > 0.9
+    step = jax.jit(env.step)
+    state = step(state, jnp.zeros(env.action_size))
+    for k in ("rcom", "rvel", "rtrunk", "rquat", "ract"):
+        assert np.isfinite(float(state.metrics[k]))
+    # traj features: 2*(nbody*3) + 3 + njoints per window frame
+    m = env.sys
+    want = 5 * (2 * m.nbody * 3 + 3 + (m.nq - 7))
+    assert state.info["traj"].shape == (want,)
+
+
 def test_humanoid_standing():
     env = envs.get_environment("humanoidstanding")
     state = jax.jit(env.reset)(jax.random.PRNGKey(0))

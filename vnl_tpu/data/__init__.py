@@ -7,4 +7,16 @@ ClipCollection) with the FK running on the first-party physics engine.
 
 from vnl_tpu.data.reference_clip import ReferenceClip, ClipLibrary
 from vnl_tpu.data.io import load_clip, load_stac_qpos
-from vnl_tpu.data.preprocess import process_clip, extract_features, compute_velocity_from_kinematics
+from vnl_tpu.data.preprocess import (
+    compute_velocity_from_kinematics,
+    extract_features,
+    make_static_clip,
+    process_clip,
+)
+from vnl_tpu.data.pipeline import (
+    ClipCollection,
+    load_features_h5,
+    process_recording,
+    save_clip_pickle,
+    save_features_h5,
+)

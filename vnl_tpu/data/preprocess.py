@@ -51,6 +51,33 @@ def compute_velocity_from_kinematics(qpos_trajectory: jax.Array,
     return jnp.concatenate([qvel_translation, qvel_gyro, qvel_joints], axis=1)
 
 
+def make_static_clip(model: Model, qpos: Optional[jax.Array] = None,
+                     clip_length: int = 250,
+                     dtype=jnp.float32) -> ReferenceClip:
+    """Holds one pose for clip_length frames (with com + zero velocities).
+
+    Covers the reference's synthetic clips (ant_traj_still,
+    humanoid_traj_stand) used to bring up tracking envs without mocap data.
+    """
+    if qpos is None:
+        qpos = model.qpos0
+    qpos = jnp.asarray(qpos, dtype)
+    d = physics.make_data(model, qpos=qpos, dtype=dtype)
+    d = physics.kinematics(model, d)
+    com = (jnp.sum(model.body_mass[:, None] * d.xipos, axis=0)
+           / jnp.sum(model.body_mass))
+    T = clip_length
+    tile = lambda x: jnp.tile(x[None], (T,) + (1,) * x.ndim)
+    return ReferenceClip(
+        position=tile(qpos[:3]), quaternion=tile(qpos[3:7]),
+        joints=tile(qpos[7:]),
+        body_positions=tile(d.xpos), body_quaternions=tile(d.xquat),
+        velocity=jnp.zeros((T, 3), dtype),
+        joints_velocity=jnp.zeros((T, model.nq - 7), dtype),
+        angular_velocity=jnp.zeros((T, 3), dtype),
+        center_of_mass=tile(com))
+
+
 def process_clip(stac_path: Optional[str] = None,
                  model: Optional[Model] = None,
                  mocap_qpos: Optional[np.ndarray] = None,

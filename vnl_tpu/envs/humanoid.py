@@ -52,7 +52,7 @@ class HumanoidTracking(PipelineEnv):
 
     def __init__(
         self,
-        reference_clip: ReferenceClip,
+        reference_clip: Optional[ReferenceClip] = None,
         solver: str = "cg",
         iterations: int = 6,
         ls_iterations: int = 6,
@@ -77,6 +77,12 @@ class HumanoidTracking(PipelineEnv):
         self._clip_length = clip_length
         self._episode_length = episode_length
         self._ref_traj_length = ref_traj_length
+        if reference_clip is None:
+            # synthetic standing clip from the "stand_on_left_leg" keyframe
+            # (the reference's humanoid_traj_stand.p is not shipped)
+            from vnl_tpu.data.preprocess import make_static_clip
+            qpos = (model.key_qpos[1] if model.nkey > 1 else model.qpos0)
+            reference_clip = make_static_clip(model, qpos, clip_length, dtype)
         self._ref_traj = reference_clip
         if self._episode_length > self._clip_length:
             raise ValueError("episode_length cannot be greater than clip_length!")

@@ -444,6 +444,48 @@ class _Compiler:
         site_quat = (np.stack([self.orientation(el, {}) for el in self.site_elems])
                      if nsite else np.zeros((0, 4)))
         site_bodyid = np.array(self.site_body, dtype=np.int32)
+        def _site_attr(el, key, default):
+            v = self.spec.resolve("site", el, key)
+            return v if v is not None else default
+
+        site_type = np.array(
+            [int(_GEOM_TYPES[_site_attr(el, "type", "sphere")])
+             for el in self.site_elems], dtype=np.int32)
+        site_size = (np.stack([
+            _fill(_site_attr(el, "size", "0.005"),
+                  np.array([0.005, 0.005, 0.005]))
+            for el in self.site_elems]) if nsite else np.zeros((0, 3)))
+
+        # --- sensors ---
+        from vnl_tpu.physics.model import SensorType
+        _SENSOR_TYPES = {
+            "touch": (SensorType.TOUCH, 1, "site"),
+            "accelerometer": (SensorType.ACCELEROMETER, 3, "site"),
+            "velocimeter": (SensorType.VELOCIMETER, 3, "site"),
+            "gyro": (SensorType.GYRO, 3, "site"),
+            "subtreelinvel": (SensorType.SUBTREELINVEL, 3, "body"),
+        }
+        smap = {n: i for i, n in enumerate(self.site_name)}
+        bmap_s = {n: i for i, n in enumerate(self.body_name)}
+        sensor_type, sensor_objid, sensor_dim, sensor_names = [], [], [], []
+        for el in spec.sensors:
+            if el.tag not in _SENSOR_TYPES:
+                continue  # unsupported sensor kinds are skipped
+            st, dim, objkind = _SENSOR_TYPES[el.tag]
+            obj = smap[el.get("site")] if objkind == "site" else \
+                bmap_s[el.get("body")]
+            sensor_type.append(int(st))
+            sensor_objid.append(obj)
+            sensor_dim.append(dim)
+            sensor_names.append(el.get("name", el.tag))
+        sensor_type = np.array(sensor_type, dtype=np.int32)
+        sensor_objid = np.array(sensor_objid, dtype=np.int32)
+        sensor_dim = np.array(sensor_dim, dtype=np.int32)
+        sensor_adr = np.concatenate(
+            [[0], np.cumsum(sensor_dim)[:-1]]).astype(np.int32) \
+            if len(sensor_dim) else np.zeros(0, np.int32)
+        nsensor = len(sensor_type)
+        nsensordata = int(sensor_dim.sum()) if nsensor else 0
 
         # --- actuators ---
         nu = len(spec.actuators)
@@ -620,7 +662,7 @@ class _Compiler:
         return Model(
             nq=nq, nv=nv, nu=nu, na=na, nbody=nbody, njnt=njnt, ngeom=ngeom,
             nsite=nsite, npair=npair, ncon_max=ncon_max, nlimit=nlimit,
-            nkey=nkey, opt=opt,
+            nkey=nkey, nsensor=nsensor, nsensordata=nsensordata, opt=opt,
             jnt_type=jnt_type, jnt_qposadr=jnt_qposadr, jnt_dofadr=jnt_dofadr,
             jnt_bodyid=jnt_bodyid, jnt_limited=jnt_limited,
             dof_bodyid=np.array(dof_bodyid, dtype=np.int32),
@@ -630,7 +672,9 @@ class _Compiler:
             body_dofadr=body_dofadr, body_dofnum=body_dofnum,
             body_treeid=body_depth,
             geom_bodyid=geom_bodyid, geom_type=geom_type,
-            site_bodyid=site_bodyid,
+            site_bodyid=site_bodyid, site_type=site_type,
+            sensor_type=sensor_type, sensor_objid=sensor_objid,
+            sensor_adr=sensor_adr, sensor_dim=sensor_dim,
             actuator_trnid=actuator_trnid, actuator_dyntype=actuator_dyntype,
             actuator_gaintype=actuator_gaintype,
             actuator_biastype=actuator_biastype,
@@ -644,6 +688,7 @@ class _Compiler:
             geom_names=tuple(self.geom_name),
             site_names=tuple(self.site_name),
             actuator_names=tuple(actuator_names),
+            sensor_names=tuple(sensor_names),
             key_names=tuple(key_names),
             qpos0=arr(qpos0), qpos_spring=arr(qpos_spring),
             body_pos=arr(body_pos), body_quat=arr(body_quat),
@@ -664,6 +709,7 @@ class _Compiler:
             geom_margin=arr(geom_margin), geom_gap=arr(geom_gap),
             geom_rbound=arr(geom_rbound),
             site_pos=arr(site_pos), site_quat=arr(site_quat),
+            site_size=arr(site_size),
             actuator_gear=arr(actuator_gear),
             actuator_gainprm=arr(actuator_gainprm),
             actuator_biasprm=arr(actuator_biasprm),

@@ -61,6 +61,7 @@ class MjcfSpec:
     default_parent: Dict[str, str]
     worldbody: MjcfElement
     actuators: List[MjcfElement]
+    sensors: List[MjcfElement]
     contact_pairs: List[MjcfElement]
     contact_excludes: List[MjcfElement]
     keyframes: List[MjcfElement]
@@ -134,6 +135,7 @@ def parse(path_or_xml: str) -> MjcfSpec:
     default_parent: Dict[str, str] = {"": ""}
     worldbody: Optional[MjcfElement] = None
     actuators: List[MjcfElement] = []
+    sensors: List[MjcfElement] = []
     contact_pairs: List[MjcfElement] = []
     contact_excludes: List[MjcfElement] = []
     keyframes: List[MjcfElement] = []
@@ -181,8 +183,11 @@ def parse(path_or_xml: str) -> MjcfSpec:
                     if n.tag == "numeric":
                         customs[n.get("name")] = np.fromstring(
                             n.get("data", ""), sep=" ")
+            elif child.tag == "sensor":
+                for sn in child:
+                    sensors.append(_parse_element(sn, None))
             elif child.tag in ("asset", "visual", "statistic", "size",
-                              "tendon", "equality", "sensor", "deformable"):
+                              "tendon", "equality", "deformable"):
                 pass  # visual / unused-by-runtime sections
     walk_top(root)
 
@@ -198,6 +203,7 @@ def parse(path_or_xml: str) -> MjcfSpec:
         default_parent=default_parent,
         worldbody=worldbody,
         actuators=actuators,
+        sensors=sensors,
         contact_pairs=contact_pairs,
         contact_excludes=contact_excludes,
         keyframes=keyframes,

@@ -50,6 +50,29 @@ def _plane_sphere(ppos, pmat, c, r):
     return dist, pos
 
 
+def pair_expansion(m: Model) -> np.ndarray:
+    """Static (ncon_max,) map: contact point -> candidate pair index, in the
+    exact order collide() emits contact points."""
+    gt = m.geom_type
+    t1 = gt[m.pair_geom1]
+    t2 = gt[m.pair_geom2]
+    out = []
+
+    def group(mask):
+        return np.nonzero(mask)[0].astype(np.int32)
+
+    out.append(group((t1 == GeomType.PLANE) & (t2 == GeomType.SPHERE)))
+    idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.CAPSULE))
+    out += [idx, idx]
+    out.append(group((t1 == GeomType.PLANE) & (t2 == GeomType.ELLIPSOID)))
+    idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.BOX))
+    out += [idx] * 4
+    out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.SPHERE)))
+    out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.CAPSULE)))
+    out.append(group((t1 == GeomType.CAPSULE) & (t2 == GeomType.CAPSULE)))
+    return np.concatenate([o for o in out]) if out else np.zeros(0, np.int32)
+
+
 def collide(m: Model, d: Data) -> Tuple[jax.Array, jax.Array, jax.Array, np.ndarray]:
     """Computes all candidate contact points.
 

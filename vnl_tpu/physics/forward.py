@@ -49,6 +49,7 @@ def make_data(m: Model, qpos: Optional[jax.Array] = None,
         qacc=z(nv),
         contact_dist=z(m.ncon_max), contact_pos=z(m.ncon_max, 3),
         contact_frame=z(m.ncon_max, 3, 3), contact_force=z(m.ncon_max, 4),
+        sensordata=z(m.nsensordata),
     )
 
 
@@ -72,8 +73,12 @@ def fwd_velocity(m: Model, d: Data):
                      qfrc_passive=qfrc_passive)
 
 
-def forward(m: Model, d: Data) -> Data:
-    """Full forward dynamics: populates derived fields and qacc."""
+def forward(m: Model, d: Data, compute_sensors: bool = False) -> Data:
+    """Full forward dynamics: populates derived fields and qacc.
+
+    compute_sensors: evaluate the model's sensors into d.sensordata (off by
+    default — the tracking envs build observations from state directly, and
+    sensor evaluation re-runs a velocity pass)."""
     d, efc = fwd_position(m, d)
     d = fwd_velocity(m, d)
     force, qfrc_act, act_dot = _actuation.actuation(m, d)
@@ -85,9 +90,13 @@ def forward(m: Model, d: Data) -> Data:
     ncon = m.ncon_max
     contact_force = (con_force if efc.ncon else
                      jnp.zeros((ncon, 4), d.qpos.dtype))
-    return d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
-                     qacc=qacc, qfrc_constraint=qfrc_constraint,
-                     contact_force=contact_force)
+    d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
+                  qacc=qacc, qfrc_constraint=qfrc_constraint,
+                  contact_force=contact_force)
+    if compute_sensors and m.nsensordata:
+        from vnl_tpu.physics import sensor as _sensor
+        d = d.replace(sensordata=_sensor.sensors(m, d))
+    return d
 
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:

@@ -74,6 +74,16 @@ class IntegratorType(enum.IntEnum):
     IMPLICITFAST = 3
 
 
+class SensorType(enum.IntEnum):
+    """Sensor kinds used by the reference assets (rodent.xml sensor block)."""
+
+    TOUCH = 0
+    ACCELEROMETER = 1
+    VELOCIMETER = 2
+    GYRO = 3
+    SUBTREELINVEL = 4
+
+
 class DisableBit(enum.IntFlag):
     CONSTRAINT = 1 << 0
     EQUALITY = 1 << 1
@@ -132,6 +142,8 @@ class Model:
     ncon_max: int = _static()  # total contact points capacity
     nlimit: int = _static()  # number of potentially-limited dofs
     nkey: int = _static()
+    nsensor: int = _static()
+    nsensordata: int = _static()
 
     opt: Option = _static()
 
@@ -154,6 +166,11 @@ class Model:
     geom_bodyid: Any = _static()     # (ngeom,)
     geom_type: Any = _static()       # (ngeom,)
     site_bodyid: Any = _static()     # (nsite,)
+    site_type: Any = _static()       # (nsite,) GeomType codes
+    sensor_type: Any = _static()     # (nsensor,) SensorType codes
+    sensor_objid: Any = _static()    # (nsensor,) site or body id
+    sensor_adr: Any = _static()      # (nsensor,) offset into sensordata
+    sensor_dim: Any = _static()      # (nsensor,)
     actuator_trnid: Any = _static()  # (nu,) target joint id
     actuator_dyntype: Any = _static()
     actuator_gaintype: Any = _static()
@@ -176,6 +193,7 @@ class Model:
     geom_names: Tuple[str, ...] = _static()
     site_names: Tuple[str, ...] = _static()
     actuator_names: Tuple[str, ...] = _static()
+    sensor_names: Tuple[str, ...] = _static()
     key_names: Tuple[str, ...] = _static()
 
     # ---- array leaves (device) ----
@@ -211,6 +229,7 @@ class Model:
     geom_rbound: jax.Array      # (ngeom,) bounding sphere radius
     site_pos: jax.Array         # (nsite, 3)
     site_quat: jax.Array        # (nsite, 4)
+    site_size: jax.Array        # (nsite, 3)
     actuator_gear: jax.Array    # (nu,)   (scalar joint gear)
     actuator_gainprm: jax.Array # (nu, 3)
     actuator_biasprm: jax.Array # (nu, 3)
@@ -278,6 +297,7 @@ class Data:
     contact_pos: jax.Array      # (ncon_max, 3)
     contact_frame: jax.Array    # (ncon_max, 3, 3) rows: normal, tan1, tan2
     contact_force: jax.Array    # (ncon_max, 4) pyramidal-basis forces (diag)
+    sensordata: jax.Array       # (nsensordata,)
 
     @property
     def q(self) -> jax.Array:  # alias used by reference envs (rodent.py:314)

@@ -27,6 +27,21 @@ from vnl_tpu.physics.constraint import EfcSystem
 from vnl_tpu.physics.model import Data, Model, SolverType
 
 
+def _use_pallas() -> bool:
+    """Opt-in: the fused kernel is correct (3e-7 agreement) but measured
+    SLOWER at B=1024 — vmap maps it to a grid of 1024 tiny programs whose
+    per-program overhead exceeds the saved HLO launches.  A block-batched
+    variant (many envs per program) is future work; until then default off.
+    """
+    import os
+    if not os.environ.get("VNL_TPU_ENABLE_PALLAS_LS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _forces(efc: EfcSystem, lim_jx, con_fx):
     """Active-set forces f = -D [jar<0] jar per block."""
     lim_jar = lim_jx - efc.lim_aref
@@ -39,9 +54,20 @@ def _forces(efc: EfcSystem, lim_jx, con_fx):
 def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
                  lim_jar, con_jar, lim_jp, con_jp):
     """Exact line search on the piecewise-quadratic cost along p
-    (fori_loop body: active-set refinement at fixed trip count)."""
+    (fori_loop body: active-set refinement at fixed trip count).
+
+    On TPU the whole search runs as one fused Pallas kernel
+    (ops/pallas_solver.py) instead of ~10 HLO ops per refinement."""
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
+    n_iter = max(m.opt.ls_iterations, 1)
+
+    if _use_pallas():
+        from vnl_tpu.ops.pallas_solver import fused_line_search
+        jar = jnp.concatenate([lim_jar, con_jar.reshape(-1)])
+        jp = jnp.concatenate([lim_jp, con_jp.reshape(-1)])
+        D = jnp.concatenate([efc.lim_D, efc.con_D.reshape(-1)])
+        return fused_line_search(quad_num0, quad_den0, jar, jp, D, n_iter)
 
     def body(_, alpha):
         lim_act = (lim_jar + alpha * lim_jp) < 0.0
@@ -54,8 +80,7 @@ def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
                + jnp.sum(efc.con_D * con_act * con_jp * con_jp))
         return -num / jnp.maximum(den, 1e-12)
 
-    return jax.lax.fori_loop(0, max(m.opt.ls_iterations, 1), body,
-                             jnp.zeros((), p.dtype))
+    return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), p.dtype))
 
 
 def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
