@@ -101,3 +101,15 @@ def test_learning_signal_on_ant():
         normalize_observations=True, seed=1, progress_fn=progress)
     assert losses_seen
     assert all(np.isfinite(l) for l in losses_seen)
+
+
+def test_vanilla_ppo_on_humanoid_standing():
+    """BASELINE config #2 path: vanilla locomotion task through the shared
+    PPO stack (traj pathway mirrors obs)."""
+    env = envs.get_environment("humanoidstanding")
+    _, _, metrics = training.train(
+        env, num_timesteps=256, episode_length=4, num_envs=8,
+        num_eval_envs=4, unroll_length=2, batch_size=8, num_minibatches=2,
+        num_updates_per_batch=1, num_evals=2, normalize_observations=True,
+        seed=0)
+    assert np.isfinite(metrics["eval/episode_reward"])

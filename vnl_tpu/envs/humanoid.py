@@ -237,7 +237,9 @@ class HumanoidStanding(PipelineEnv):
             "distance_from_origin": zero, "x_velocity": zero,
             "y_velocity": zero,
         }
-        return State(data, obs, reward, done, metrics, {})
+        # "traj" pathway mirrors obs so the shared intention-PPO stack also
+        # trains this vanilla locomotion task (BASELINE config #2)
+        return State(data, obs, reward, done, metrics, {"traj": obs})
 
     def step(self, state: State, action: jax.Array) -> State:
         data0 = state.pipeline_state
@@ -265,8 +267,10 @@ class HumanoidStanding(PipelineEnv):
             x_position=com_after[0], y_position=com_after[1],
             distance_from_origin=jnp.linalg.norm(com_after),
             x_velocity=velocity[0], y_velocity=velocity[1])
+        info = dict(state.info)
+        info["traj"] = obs
         return state.replace(pipeline_state=data, obs=obs, reward=reward,
-                             done=done)
+                             done=done, info=info)
 
     def _cinert10(self, data) -> jax.Array:
         """Packs the 6x6 com-frame inertias into MuJoCo's 10-float format
