@@ -113,3 +113,23 @@ def test_vanilla_ppo_on_humanoid_standing():
         num_updates_per_batch=1, num_evals=2, normalize_observations=True,
         seed=0)
     assert np.isfinite(metrics["eval/episode_reward"])
+
+
+def test_training_determinism():
+    """Fixed seed => bit-identical trained parameters (BASELINE: exact env
+    trajectories under fixed seed; learning curve reproducibility)."""
+    env = envs.get_environment("ant")
+
+    def run():
+        _, params, _ = training.train(
+            env, num_timesteps=256, episode_length=4, num_envs=8,
+            num_eval_envs=4, unroll_length=2, batch_size=8,
+            num_minibatches=2, num_updates_per_batch=1, num_evals=2,
+            normalize_observations=True, seed=7)
+        return params
+
+    p1, p2 = run(), run()
+    identical = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
+        p1, p2))
+    assert identical
