@@ -27,6 +27,23 @@ from vnl_tpu.physics.constraint import EfcSystem
 from vnl_tpu.physics.model import Data, Model, SolverType
 
 
+def _scan_unroll() -> int:
+    """Solver-iteration scan unroll factor (env VNL_TPU_SOLVER_UNROLL).
+
+    Full unroll is ~17% faster per step on TPU (fewer loop-carried
+    barriers, +2 s compile); on CPU large unrolls have historically blown
+    up XLA compile times, so the default stays 1 there.
+    """
+    import os
+    v = os.environ.get("VNL_TPU_SOLVER_UNROLL")
+    if v is not None:
+        return int(v)
+    try:
+        return 16 if jax.default_backend() == "tpu" else 1
+    except Exception:  # pragma: no cover
+        return 1
+
+
 def _use_pallas() -> bool:
     """Opt-in: the fused kernel is correct (3e-7 agreement) but measured
     SLOWER at B=1024 — vmap maps it to a grid of 1024 tiny programs whose
@@ -136,7 +153,8 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
                     con_fx + alpha * con_jp), ()
 
         (x, lim_jx, con_fx), _ = jax.lax.scan(
-            newton_iter, (x, lim_jx, con_fx), (), length=n_iter)
+            newton_iter, (x, lim_jx, con_fx), (), length=n_iter,
+            unroll=min(_scan_unroll(), n_iter))
     else:  # CG (PGS falls back to CG)
         g = grad_at(x, lim_jx, con_fx)
         Mg = d.qMinv @ g
@@ -164,7 +182,7 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
 
         (x, lim_jx, con_fx, *_), _ = jax.lax.scan(
             cg_iter, (x, lim_jx, con_fx, g, Mg, g_dot_Mg, p), (),
-            length=n_iter)
+            length=n_iter, unroll=min(_scan_unroll(), n_iter))
 
     _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
     qfrc_constraint = efc.jt_f(lim_f, con_f)
