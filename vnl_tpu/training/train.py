@@ -88,6 +88,13 @@ def train(
     assert batch_size * num_minibatches % num_envs == 0
     xt = time.time()
 
+    # Keep the solver scans rolled inside the (very large) training-epoch
+    # program: full unroll is a ~17% step win in small rollout programs but
+    # has triggered TPU device faults when multiplied into the epoch graph
+    # (CLAUDE.md round-1 incidents). Users can override explicitly.
+    import os
+    os.environ.setdefault("VNL_TPU_SOLVER_UNROLL", "1")
+
     mesh = mesh_lib.create_mesh(num_devices, _AXIS)
     device_count = mesh.devices.size
     process_count = jax.process_count()
