@@ -1,0 +1,26 @@
+"""Regenerates tests/fixtures after an intentional physics change."""
+
+import os
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import sys
+    sys.path.insert(0, HERE)
+    from tests.test_golden import _rollout
+    qpos, reward = _rollout()
+    out = os.path.join(HERE, "tests", "fixtures", "golden_ant_rollout.npz")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    np.savez(out, qpos=qpos, reward=reward)
+    print("wrote", out, qpos.shape)
+
+
+if __name__ == "__main__":
+    main()
