@@ -22,6 +22,12 @@ from vnl_tpu import math as vmath
 from vnl_tpu.physics.model import Data, JointType, Model
 
 
+def _window_gather(x, adr: np.ndarray, offset: int, width: int):
+    """x[adr+offset : adr+offset+width] per row, as `width` 1-D gathers."""
+    cols = [x[jnp.asarray(adr + offset + i)] for i in range(width)]
+    return jnp.stack(cols, axis=-1)
+
+
 def _levels(m: Model) -> List[np.ndarray]:
     """Static body-id groups by depth (excluding world)."""
     depth = m.body_treeid
@@ -51,61 +57,58 @@ def kinematics(m: Model, d: Data) -> Data:
         pos = p_pos + vmath.quat_rotate(p_quat, m.body_pos[bids])
         quat = vmath.quat_mul(p_quat, m.body_quat[bids])
 
-        # apply this level's joints body-by-body groups: all bodies at a level
-        # may have different joint counts; handle up to max jnts via static
-        # unrolled loop with per-body masking.
+        # Apply this level's joints slot-by-slot (bodies may have several
+        # joints).  Each slot computes candidate updates for EVERY level
+        # body under every joint type and merges them with static masks —
+        # no pos/quat scatters.  (A previous formulation using masked
+        # .at[idx].set updates was miscompiled by XLA:CPU for levels mixing
+        # ball and hinge joints; see tests/test_physics_property.py.)
         max_jnts = int(m.body_jntnum[level].max()) if len(level) else 0
         for k in range(max_jnts):
             has = m.body_jntnum[level] > k
             jids = np.where(has, m.body_jntadr[level] + k, 0)
             jt = m.jnt_type[jids]  # static per body
             jadr = m.jnt_qposadr[jids]
-            # FREE joint: frame directly from qpos (free joints are always
-            # the only joint of their body).
-            free = (jt == int(JointType.FREE)) & has
-            if free.any():
-                fidx = jnp.asarray(np.nonzero(free)[0])
-                fadr = jnp.asarray(jadr[free])
-                fpos = qpos[fadr[:, None] + jnp.arange(3)]
-                fquat = vmath.normalize(qpos[fadr[:, None] + jnp.arange(3, 7)])
-                pos = pos.at[fidx].set(fpos)
-                quat = quat.at[fidx].set(fquat)
-            # HINGE / SLIDE / BALL
-            for sel, jtype in ((jt == int(JointType.HINGE), JointType.HINGE),
-                               (jt == int(JointType.SLIDE), JointType.SLIDE),
-                               (jt == int(JointType.BALL), JointType.BALL)):
-                sel = sel & has
-                if not sel.any():
-                    continue
-                sidx = jnp.asarray(np.nonzero(sel)[0])
-                sjid = jnp.asarray(jids[sel])
-                sadr = jnp.asarray(jadr[sel])
-                jpos = m.jnt_pos[sjid]
-                jaxis_l = m.jnt_axis[sjid]
-                bq = quat[sidx]
-                bp = pos[sidx]
-                anchor = bp + vmath.quat_rotate(bq, jpos)
-                world_axis = vmath.quat_rotate(bq, jaxis_l)
-                # record anchor/axis at application time: later joints of the
-                # same body must not perturb earlier joints' anchors
-                xanchor = xanchor.at[sjid].set(anchor)
-                xaxis = xaxis.at[sjid].set(world_axis)
-                if jtype == JointType.HINGE:
-                    ref = m.qpos0[sadr]
-                    angle = qpos[sadr] - ref
-                    qj = vmath.axis_angle_to_quat(jaxis_l, angle)
-                    new_q = vmath.quat_mul(bq, qj)
-                    new_p = anchor - vmath.quat_rotate(new_q, jpos)
-                elif jtype == JointType.SLIDE:
-                    ref = m.qpos0[sadr]
-                    new_q = bq
-                    new_p = bp + world_axis * (qpos[sadr] - ref)[..., None]
-                else:  # BALL
-                    qj = vmath.normalize(qpos[sadr[:, None] + jnp.arange(4)])
-                    new_q = vmath.quat_mul(bq, qj)
-                    new_p = anchor - vmath.quat_rotate(new_q, jpos)
-                quat = quat.at[sidx].set(new_q)
-                pos = pos.at[sidx].set(new_p)
+            jids_j = jnp.asarray(jids)
+            jadr_j = jnp.asarray(jadr)
+
+            jpos_l = m.jnt_pos[jids_j]
+            jaxis_l = m.jnt_axis[jids_j]
+            anchor = pos + vmath.quat_rotate(quat, jpos_l)
+            world_axis = vmath.quat_rotate(quat, jaxis_l)
+
+            # record anchors/axes at application time for present joints
+            rec = has & (jt != int(JointType.FREE))
+            if rec.any():
+                ridx = np.nonzero(rec)[0]
+                xanchor = xanchor.at[jnp.asarray(jids[ridx])].set(anchor[ridx])
+                xaxis = xaxis.at[jnp.asarray(jids[ridx])].set(
+                    world_axis[ridx])
+
+            # candidate updates per joint type (garbage lanes masked below)
+            ref = m.qpos0[jadr_j]
+            scalar = qpos[jadr_j] - ref
+            qj_h = vmath.axis_angle_to_quat(jaxis_l, scalar)
+            q_hinge = vmath.quat_mul(quat, qj_h)
+            p_hinge = anchor - vmath.quat_rotate(q_hinge, jpos_l)
+            p_slide = pos + world_axis * scalar[..., None]
+            qj_b = vmath.normalize(_window_gather(qpos, jadr, 0, 4))
+            q_ball = vmath.quat_mul(quat, qj_b)
+            p_ball = anchor - vmath.quat_rotate(q_ball, jpos_l)
+            p_free = _window_gather(qpos, jadr, 0, 3)
+            q_free = vmath.normalize(_window_gather(qpos, jadr, 3, 4))
+
+            def mask(t):
+                sel = (jt == int(t)) & has
+                return jnp.asarray(sel)[:, None]
+
+            quat = jnp.where(mask(JointType.HINGE), q_hinge,
+                    jnp.where(mask(JointType.BALL), q_ball,
+                     jnp.where(mask(JointType.FREE), q_free, quat)))
+            pos = jnp.where(mask(JointType.HINGE), p_hinge,
+                   jnp.where(mask(JointType.SLIDE), p_slide,
+                    jnp.where(mask(JointType.BALL), p_ball,
+                     jnp.where(mask(JointType.FREE), p_free, pos))))
         xpos = xpos.at[bids].set(pos)
         xquat = xquat.at[bids].set(quat)
 
