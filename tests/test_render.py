@@ -27,3 +27,19 @@ def test_overlay_video(tmp_path):
                                height=90)
     assert os.path.exists(out)
     assert os.path.getsize(out) > 0
+
+
+def test_egocentric_camera():
+    """64x64 egocentric head camera (walker.py observable equivalent)."""
+    import numpy as np
+    from vnl_tpu.data.io import load_clip
+    from vnl_tpu.render import render_egocentric
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True)
+    clip = load_clip("/root/reference/clips/transform_snips_groom.p")
+    qpos = np.concatenate([np.asarray(clip.position[0]),
+                           np.asarray(clip.quaternion[0]),
+                           np.asarray(clip.joints[0])])
+    frame = render_egocentric(m, qpos)
+    assert frame.shape == (64, 64, 3)
+    assert frame.std() > 1  # sees something

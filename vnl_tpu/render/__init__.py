@@ -7,4 +7,5 @@ rasterizer (always available, zero GL deps); a MuJoCo GL backend is used
 opportunistically when the platform provides osmesa/egl.
 """
 
-from vnl_tpu.render.software import SoftwareRenderer, render_trajectory, render_overlay_video
+from vnl_tpu.render.software import (SoftwareRenderer, render_egocentric,
+                                     render_overlay_video, render_trajectory)

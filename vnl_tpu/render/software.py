@@ -177,6 +177,23 @@ class SoftwareRenderer:
         img[hit] = np.broadcast_to(base, img.shape)[hit]
 
 
+def render_egocentric(model: Model, qpos: np.ndarray,
+                      body_name: str = "skull", width: int = 64,
+                      height: int = 64, forward_offset: float = 0.3,
+                      renderer: Optional[SoftwareRenderer] = None
+                      ) -> np.ndarray:
+    """64x64 egocentric view from a head/skull body (walker.py:388-405
+    observable).  Host-side (offline analysis / visualization, like the
+    reference's dm_control camera — not a training observation)."""
+    r = renderer or SoftwareRenderer(model, width, height, fovy=90.0)
+    d = r._fk(np.asarray(qpos))
+    bid = model.body_names.index(body_name)
+    pos = np.asarray(d.xpos)[bid]
+    fwd = np.asarray(d.xmat)[bid][:, 0]  # body x-axis
+    return r.render([np.asarray(qpos)], camera_pos=pos + 0.02 * fwd,
+                    camera_target=pos + forward_offset * fwd)
+
+
 def render_trajectory(model: Model, qpos_traj: np.ndarray, width=320,
                       height=240, **kwargs) -> np.ndarray:
     """(T, nq) -> (T, H, W, 3) uint8 frames."""
