@@ -29,27 +29,35 @@ from vnl_tpu.utils import MetricsLogger, apply_overrides, load_config
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
 
-def build_env(cfg):
+def build_env(cfg, for_eval=False):
+    """Constructs the training env, or — with for_eval=True — the eval env
+    with the reference's eval convention (/root/reference/train.py:95-104):
+    sub_clip_length maxed so every eval episode starts at frame 0 and runs
+    the whole clip instead of truncating at the training sub-clip cap."""
     env_cfg = cfg["env"]
     name = env_cfg["name"]
+    env_args = dict(env_cfg.get("env_args", {}))
+    if for_eval and "sub_clip_length" in env_args:
+        env_args["sub_clip_length"] = (
+            env_args["clip_length"] - env_args.get("ref_traj_length", 5))
     if name in ("rodent", "rodent_multiclip"):
         if env_cfg.get("stac_path"):
             clip = process_clip(
                 stac_path=env_cfg["stac_path"],
-                mjcf_path=env_cfg["env_args"]["mjcf_path"],
-                scale_factor=env_cfg["env_args"]["scale_factor"],
+                mjcf_path=env_args["mjcf_path"],
+                scale_factor=env_args["scale_factor"],
                 start_step=env_cfg.get("clip_idx", 0)
-                * env_cfg["env_args"]["clip_length"],
-                clip_length=env_cfg["env_args"]["clip_length"])
+                * env_args["clip_length"],
+                clip_length=env_args["clip_length"])
         else:
             clip = load_clip(env_cfg["clip_path"])
-        return envs_lib.get_environment(
-            name, reference_clip=clip, **env_cfg["env_args"])
+        return envs_lib.get_environment(name, reference_clip=clip,
+                                        **env_args)
     if name in ("humanoidtracking",):
         clip = load_clip(env_cfg["clip_path"])
         return envs_lib.get_environment(name, reference_clip=clip,
-                                        **env_cfg.get("env_args", {}))
-    return envs_lib.get_environment(name, **env_cfg.get("env_args", {}))
+                                        **env_args)
+    return envs_lib.get_environment(name, **env_args)
 
 
 def main(argv=None):
@@ -60,6 +68,7 @@ def main(argv=None):
     tc = cfg["train"]
 
     env = build_env(cfg)
+    eval_env = build_env(cfg, for_eval=True)
     # scale env count by devices, like the reference driver (train.py:128-129)
     num_envs = tc["num_envs"] * jax.device_count()
     batch_size = tc["batch_size"] * jax.device_count()
@@ -82,7 +91,7 @@ def main(argv=None):
     def policy_params_fn(num_steps, make_policy, params):
         nonlocal eval_cb
         if eval_cb is None:
-            eval_cb = EvalCallback(env, make_policy, model_path, logger,
+            eval_cb = EvalCallback(eval_env, make_policy, model_path, logger,
                                    episode_length=tc["episode_length"],
                                    render=bool(tc.get("render_eval", True)))
         eval_cb(num_steps, make_policy, params)
@@ -116,6 +125,7 @@ def main(argv=None):
         gae_lambda=tc["gae_lambda"],
         kl_weight=tc["kl_weight"],
         network_factory=network_factory,
+        eval_env=eval_env,
         progress_fn=progress,
         policy_params_fn=policy_params_fn,
         checkpoint_dir=os.path.join(model_path, "state"),

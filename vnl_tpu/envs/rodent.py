@@ -138,9 +138,14 @@ class RodentTracking(PipelineEnv):
     # ---- reset / step ----
     def reset(self, rng: jax.Array) -> State:
         rng_frame, rng_noise, rng_clip = jax.random.split(rng, 3)
-        start_frame = jax.random.randint(
-            rng_frame, (), 0,
-            self._clip_length - self._sub_clip_length - self._ref_traj_length)
+        # Eval convention (reference train.py:95-104): passing
+        # sub_clip_length = clip_length - ref_traj_length maxes the sub-clip
+        # so the start-frame range collapses to {0} and episodes run whole
+        # clips.
+        frame_range = max(
+            1, self._clip_length - self._sub_clip_length
+            - self._ref_traj_length)
+        start_frame = jax.random.randint(rng_frame, (), 0, frame_range)
         info = {
             "cur_frame": start_frame,
             "sub_clip_frame": jnp.zeros((), jnp.int32),
@@ -245,8 +250,13 @@ class RodentTracking(PipelineEnv):
             ref.joints_velocity[frame]])
         rvel = jnp.exp(-0.1 * jnp.linalg.norm(data.qvel - qvel_ref))
 
+        # Pair the POST-step data with the incremented frame so rtrunk and
+        # the termination condition are consistent with the other reward
+        # terms (rcom/rvel/rquat/rapp all use new-data/new-frame). The
+        # reference pairs old-data/old-frame (envs/rodent.py:241-264 called
+        # from :190); we deliberately use the consistent pairing.
         rtrunk = self._calculate_termination(
-            state.replace(info=info), ref)
+            state.replace(pipeline_state=data, info=info), ref)
 
         quat_c = data.qpos[3:7]
         quat_ref = ref.quaternion[frame]

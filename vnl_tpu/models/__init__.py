@@ -13,9 +13,7 @@ from vnl_tpu.models.networks import (
     make_value_network,
 )
 from vnl_tpu.models.intention import (
-    Encoder,
-    Decoder,
-    IntentionNetwork,
+    IntentionPolicy,
     make_intention_policy,
 )
 from vnl_tpu.models.ppo_networks import (

@@ -1,11 +1,14 @@
-"""Intention (VAE) policy network — CoMic/Hasenclever lineage.
+"""Latent-intention actor network (CoMic / Hasenclever-2020 lineage).
 
-Re-implements /root/reference/ppo_imitation/intention_policy_network.py:
-an encoder maps the reference-trajectory feature window to a stochastic
-latent "intention"; a decoder maps (latent ++ proprioceptive obs) to action
-distribution parameters.  LayerNorm after every hidden activation, matching
-the reference (:40-44, :67-69).  Note the reference normalizes obs but NOT
-traj (:125-127) — preserved here.
+Behavioral spec from the reference implementation
+(/root/reference/ppo_imitation/intention_policy_network.py): a trajectory
+encoder compresses the 5-frame reference-feature window into a Gaussian
+posterior over a latent "intention"; one sample of that latent, concatenated
+with the proprioceptive observation, drives a decoder that emits action
+distribution parameters.  Every hidden layer is Dense -> relu -> LayerNorm
+(ref :40-44, :67-69); the final decoder layer is a bare affine head.  The
+observation runs through the running-statistics normalizer while the
+trajectory features deliberately do not (ref :125-127).
 """
 
 from __future__ import annotations
@@ -17,74 +20,44 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vnl_tpu.models import networks
-from vnl_tpu.models.networks import ActivationFn, FeedForwardNetwork, Initializer
+from vnl_tpu.models.networks import FeedForwardNetwork
 
 
-class Encoder(nn.Module):
-    """traj features -> (mean, logvar) of the intention latent."""
+class _NormedStack(nn.Module):
+    """Dense -> relu -> LayerNorm, repeated; the workhorse of both halves."""
 
-    layer_sizes: Sequence[int]
-    latents: int
-    activation: ActivationFn = nn.relu
-    kernel_init: Initializer = jax.nn.initializers.lecun_uniform()
-    bias: bool = True
+    widths: Sequence[int]
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        for i, hidden_size in enumerate(self.layer_sizes):
-            x = nn.Dense(hidden_size, name=f"hidden_{i}",
-                         kernel_init=self.kernel_init, use_bias=self.bias)(x)
-            x = self.activation(x)
-            x = nn.LayerNorm()(x)
-        mean_x = nn.Dense(self.latents, name="fc2_mean")(x)
-        logvar_x = nn.Dense(self.latents, name="fc2_logvar")(x)
-        return mean_x, logvar_x
+    def __call__(self, h: jax.Array) -> jax.Array:
+        for k, width in enumerate(self.widths):
+            h = nn.LayerNorm(name=f"norm_{k}")(
+                nn.relu(nn.Dense(width, name=f"proj_{k}")(h)))
+        return h
 
 
-class Decoder(nn.Module):
-    """(latent ++ obs) -> action distribution parameters."""
+class IntentionPolicy(nn.Module):
+    """traj window + obs + rng -> (dist params, posterior mean, posterior logvar)."""
 
-    layer_sizes: Sequence[int]
-    activation: ActivationFn = nn.relu
-    kernel_init: Initializer = jax.nn.initializers.lecun_uniform()
-    activate_final: bool = False
-    bias: bool = True
+    encoder_widths: Sequence[int]
+    decoder_widths: Sequence[int]
+    latent_width: int
+    out_width: int
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        for i, hidden_size in enumerate(self.layer_sizes):
-            x = nn.Dense(hidden_size, name=f"hidden_{i}",
-                         kernel_init=self.kernel_init, use_bias=self.bias)(x)
-            if i != len(self.layer_sizes) - 1 or self.activate_final:
-                x = self.activation(x)
-                x = nn.LayerNorm()(x)
-        return x
+    def __call__(self, traj: jax.Array, obs: jax.Array,
+                 rng: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        h = _NormedStack(self.encoder_widths, name="encoder")(traj)
+        post_mean = nn.Dense(self.latent_width, name="post_mean")(h)
+        post_logvar = nn.Dense(self.latent_width, name="post_logvar")(h)
+        # one reparameterized draw from N(mean, exp(logvar))
+        noise = jax.random.normal(rng, post_mean.shape, post_mean.dtype)
+        intention = post_mean + noise * jnp.exp(0.5 * post_logvar)
 
-
-def reparameterize(rng, mean, logvar):
-    std = jnp.exp(0.5 * logvar)
-    eps = jax.random.normal(rng, logvar.shape, mean.dtype)
-    return mean + eps * std
-
-
-class IntentionNetwork(nn.Module):
-    """encoder -> reparameterized latent -> decoder."""
-
-    encoder_layers: Sequence[int]
-    decoder_layers: Sequence[int]
-    latents: int = 60
-
-    def setup(self):
-        self.encoder = Encoder(layer_sizes=self.encoder_layers,
-                               latents=self.latents)
-        self.decoder = Decoder(layer_sizes=self.decoder_layers)
-
-    def __call__(self, traj, obs, key):
-        _, encoder_rng = jax.random.split(key, 2)
-        intention_mean, intention_logvar = self.encoder(traj)
-        z = reparameterize(encoder_rng, intention_mean, intention_logvar)
-        action = self.decoder(jnp.concatenate([z, obs], axis=-1))
-        return action, intention_mean, intention_logvar
+        g = jnp.concatenate([intention, obs], axis=-1)
+        g = _NormedStack(self.decoder_widths, name="decoder")(g)
+        dist_params = nn.Dense(self.out_width, name="action_head")(g)
+        return dist_params, post_mean, post_logvar
 
 
 def make_intention_policy(
@@ -96,21 +69,29 @@ def make_intention_policy(
     encoder_layer_sizes: Sequence[int] = (1024, 1024),
     decoder_layer_sizes: Sequence[int] = (1024, 1024),
 ) -> FeedForwardNetwork:
-    """Creates the intention policy (intention_policy_network.py:108-136)."""
-    policy_module = IntentionNetwork(
-        encoder_layers=list(encoder_layer_sizes),
-        decoder_layers=list(decoder_layer_sizes) + [param_size],
-        latents=latent_size,
+    """Wraps IntentionPolicy as an (init, apply) pair.
+
+    apply(normalizer_params, params, traj, obs, rng): obs is normalized with
+    the running statistics; traj is consumed raw (ref :125-127).
+    """
+    module = IntentionPolicy(
+        encoder_widths=tuple(encoder_layer_sizes),
+        decoder_widths=tuple(decoder_layer_sizes),
+        latent_width=latent_size,
+        out_width=param_size,
     )
 
-    def apply(processor_params, policy_params, traj, obs, key):
-        obs = preprocess_observations_fn(obs, processor_params)
-        return policy_module.apply(policy_params, traj=traj, obs=obs, key=key)
+    def init(rng: jax.Array):
+        return module.init(
+            rng,
+            jnp.zeros((1, traj_size)),
+            jnp.zeros((1, obs_size)),
+            jax.random.PRNGKey(0),
+        )
 
-    dummy_obs = jnp.zeros((1, obs_size))
-    dummy_traj = jnp.zeros((1, traj_size))
-    dummy_key = jax.random.PRNGKey(0)
-    return FeedForwardNetwork(
-        init=lambda key: policy_module.init(key, dummy_traj, dummy_obs,
-                                            dummy_key),
-        apply=apply)
+    def apply(normalizer_params, params, traj, obs, rng):
+        return module.apply(
+            params, traj,
+            preprocess_observations_fn(obs, normalizer_params), rng)
+
+    return FeedForwardNetwork(init=init, apply=apply)

@@ -1,13 +1,16 @@
-"""PPO network bundle + inference function.
+"""Agent network bundle and policy construction for intention-PPO.
 
-Re-implements /root/reference/ppo_imitation/ppo_networks.py: the policy
-returns (action, extras) where extras carries log_prob, the uniform-action
-diagnostic rand_log_prob (:68-73), raw_action and logits for the PPO loss.
+Behavioral spec from /root/reference/ppo_imitation/ppo_networks.py: the
+sampled policy returns the tanh-postprocessed action together with the
+extras the PPO loss and diagnostics need — the behaviour log-prob, the
+pre-tanh action, the raw distribution parameters, and "rand_log_prob", the
+log-probability the current distribution assigns to a uniformly drawn
+action (ref :68-73; a collapse diagnostic plotted by the eval callback).
 """
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -28,38 +31,35 @@ class PPOImitationNetworks:
 
 
 def make_inference_fn(ppo_networks: PPOImitationNetworks):
-    """Creates the policy factory (ppo_networks.py:35-87)."""
+    """Returns make_policy(params, deterministic) -> policy(traj, obs, rng)."""
+    dist = ppo_networks.parametric_action_distribution
+    apply_net = ppo_networks.policy_network.apply
 
     def make_policy(params, deterministic: bool = False):
-        policy_network = ppo_networks.policy_network
-        parametric_action_distribution = (
-            ppo_networks.parametric_action_distribution)
 
-        def policy(trajectories, observations, key_sample):
-            key_sample, key_network = jax.random.split(key_sample)
-            logits, _, _ = policy_network.apply(
-                *params, trajectories, observations, key_network)
-            if deterministic:
-                return parametric_action_distribution.mode(logits), {}
-            raw_actions = parametric_action_distribution.sample_no_postprocessing(
-                logits, key_sample)
-            log_prob = parametric_action_distribution.log_prob(
-                logits, raw_actions)
-            action_size = logits.shape[-1] // 2
-            random_actions = jax.random.uniform(
-                key_sample, shape=(action_size,), minval=-1.0, maxval=1.0)
-            rand_log_prob = parametric_action_distribution.log_prob(
-                logits, random_actions)
-            postprocessed_actions = parametric_action_distribution.postprocess(
-                raw_actions)
-            return postprocessed_actions, {
-                "log_prob": log_prob,
-                "rand_log_prob": rand_log_prob,
-                "raw_action": raw_actions,
-                "logits": logits,
+        def mode_policy(traj, obs, rng):
+            _, net_rng = jax.random.split(rng)
+            dist_params, _, _ = apply_net(*params, traj, obs, net_rng)
+            return dist.mode(dist_params), {}
+
+        def sampling_policy(traj, obs, rng):
+            draw_rng, net_rng = jax.random.split(rng)
+            dist_params, _, _ = apply_net(*params, traj, obs, net_rng)
+            pre_tanh = dist.sample_no_postprocessing(dist_params, draw_rng)
+            # diagnostic: likelihood of a uniform action under the current
+            # distribution, for detecting distribution collapse
+            n_act = dist_params.shape[-1] // 2
+            uniform = jax.random.uniform(draw_rng, (n_act,), minval=-1.0,
+                                         maxval=1.0)
+            extras = {
+                "log_prob": dist.log_prob(dist_params, pre_tanh),
+                "rand_log_prob": dist.log_prob(dist_params, uniform),
+                "raw_action": pre_tanh,
+                "logits": dist_params,
             }
+            return dist.postprocess(pre_tanh), extras
 
-        return policy
+        return mode_policy if deterministic else sampling_policy
 
     return make_policy
 
@@ -70,30 +70,28 @@ def make_intention_ppo_networks(
     action_size: int,
     preprocess_observations_fn=networks.identity_observation_preprocessor,
     intention_latent_size: int = 64,
-    encoder_layer_sizes: Sequence[int] = (1024,) * 2,
-    decoder_layer_sizes: Sequence[int] = (1024,) * 2,
-    value_hidden_layer_sizes: Sequence[int] = (1024,) * 2,
+    encoder_layer_sizes: Sequence[int] = (1024, 1024),
+    decoder_layer_sizes: Sequence[int] = (1024, 1024),
+    value_hidden_layer_sizes: Sequence[int] = (1024, 1024),
 ) -> PPOImitationNetworks:
-    """Bundles intention policy + value net + tanh-normal distribution
-    (ppo_networks.py:91-124)."""
-    parametric_action_distribution = NormalTanhDistribution(
-        event_size=action_size)
-    policy_network = make_intention_policy(
-        parametric_action_distribution.param_size,
-        latent_size=intention_latent_size,
-        traj_size=traj_size,
-        obs_size=observation_size,
-        preprocess_observations_fn=preprocess_observations_fn,
-        encoder_layer_sizes=encoder_layer_sizes,
-        decoder_layer_sizes=decoder_layer_sizes,
-    )
-    value_network = networks.make_value_network(
-        observation_size,
-        preprocess_observations_fn=preprocess_observations_fn,
-        hidden_layer_sizes=value_hidden_layer_sizes,
-    )
+    """Assembles actor (intention policy), critic and the tanh-Gaussian
+    action distribution (ref ppo_networks.py:91-124; value hidden sizes
+    (1024, 1024) per :114-118)."""
+    dist = NormalTanhDistribution(event_size=action_size)
     return PPOImitationNetworks(
-        policy_network=policy_network,
-        value_network=value_network,
-        parametric_action_distribution=parametric_action_distribution,
+        policy_network=make_intention_policy(
+            dist.param_size,
+            latent_size=intention_latent_size,
+            obs_size=observation_size,
+            traj_size=traj_size,
+            preprocess_observations_fn=preprocess_observations_fn,
+            encoder_layer_sizes=encoder_layer_sizes,
+            decoder_layer_sizes=decoder_layer_sizes,
+        ),
+        value_network=networks.make_value_network(
+            observation_size,
+            preprocess_observations_fn=preprocess_observations_fn,
+            hidden_layer_sizes=value_hidden_layer_sizes,
+        ),
+        parametric_action_distribution=dist,
     )

@@ -45,19 +45,48 @@ def shard_map_fn(fn, mesh: Mesh, in_specs, out_specs, check_vma: bool = False):
 
 
 def assert_is_replicated(x, debug=None):
-    """Checks a pytree holds identical values on all local devices
-    (brax.training.pmap.assert_is_replicated equivalent)."""
-    def check(y):
-        arr = np.asarray(jax.device_get(y))
-        return True
-    jax.tree_util.tree_map(check, x)
+    """Checks every pytree leaf holds identical values on all local devices
+    (brax.training.pmap.assert_is_replicated equivalent).
+
+    A leaf passes iff (a) its sharding claims full replication AND (b) the
+    actual per-device buffers are bit-identical — (b) catches desyncs that a
+    shard_map with an unchecked replicated out_spec could smuggle through.
+    Raises AssertionError on the first offending leaf.
+    """
+    leaves_with_paths = jax.tree_util.tree_flatten_with_path(x)[0]
+    for path, y in leaves_with_paths:
+        if not isinstance(y, jax.Array):
+            continue
+        shards = getattr(y, "addressable_shards", None)
+        if shards is None or len(shards) <= 1:
+            continue
+        if not y.sharding.is_fully_replicated:
+            raise AssertionError(
+                f"leaf {jax.tree_util.keystr(path)} is sharded "
+                f"({y.sharding}), expected replicated"
+                + (f"; {debug}" if debug else ""))
+        ref_val = np.asarray(shards[0].data)
+        for s in shards[1:]:
+            val = np.asarray(s.data)
+            if not np.array_equal(val, ref_val, equal_nan=True):
+                raise AssertionError(
+                    f"leaf {jax.tree_util.keystr(path)} differs between "
+                    f"device {shards[0].device} and {s.device}"
+                    + (f"; {debug}" if debug else ""))
 
 
 def synchronize_hosts():
-    """Barrier across processes (brax.training.pmap.synchronize_hosts)."""
+    """Barrier across processes (brax.training.pmap.synchronize_hosts):
+    a psum of ones over the full device mesh — every process must enter the
+    program before any can leave. Expressed with Mesh + shard_map (not pmap)
+    to match the framework's execution model."""
     if jax.process_count() == 1:
         return
-    # psum of ones across all devices forces a global synchronization
-    x = jax.pmap(lambda x: jax.lax.psum(x, "i"), axis_name="i")(
-        np.ones(jax.local_device_count()))
-    assert x[0] == jax.device_count()
+    mesh = create_mesh()
+    total = jax.jit(shard_map_fn(
+        lambda v: jax.lax.psum(v, "data"), mesh,
+        in_specs=P("data"), out_specs=P()))(
+            jax.device_put(
+                np.ones(mesh.devices.size, np.float32),
+                jax.sharding.NamedSharding(mesh, P("data"))))
+    assert int(np.asarray(total)[0]) == jax.device_count()

@@ -129,9 +129,13 @@ def integrate(m: Model, d: Data) -> Data:
     dt = m.opt.timestep
     qacc = d.qacc
 
-    damped = (np.any(np.asarray(m.dof_damping) != 0)
-              if isinstance(m.dof_damping, np.ndarray) else True)
-    if not (m.opt.disableflags & DisableBit.EULERDAMP):
+    # Static model metadata: resolve the implicit-damping branch at trace
+    # time and skip the (M + dt·B)⁻¹ solve entirely for undamped models.
+    try:
+        damped = bool(np.any(np.asarray(m.dof_damping) != 0))
+    except Exception:  # model passed as a traced argument: keep the solve
+        damped = True
+    if damped and not (m.opt.disableflags & DisableBit.EULERDAMP):
         # qvel += dt * (M + dt*diag(B))^-1 M qacc
         from vnl_tpu.ops.linalg import inv_spd
         MhB = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))

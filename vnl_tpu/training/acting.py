@@ -1,8 +1,10 @@
-"""Rollout generation and evaluation.
+"""Rollout collection and periodic evaluation.
 
-Re-implements /root/reference/ppo_imitation/acting.py: one env step per
-policy call (the policy consumes the traj pathway from state.info), scan
-unrolls, and an Evaluator running full episodes on an EvalWrapper-ed env.
+Behavioral spec from /root/reference/ppo_imitation/acting.py: the policy is
+called with the reference-trajectory features held in state.info["traj"]
+alongside the proprioceptive obs (ref :47); unrolls are lax.scan programs;
+the Evaluator wraps the eval env in EvalWrapper and aggregates per-episode
+metrics with mean/std suffixes (ref :139-154).
 """
 
 from __future__ import annotations
@@ -20,77 +22,82 @@ from vnl_tpu.training.types import Metrics, Transition
 
 def actor_step(env: Env, env_state: State, policy, key,
                extra_fields: Sequence[str] = ()) -> Tuple[State, Transition]:
-    """Policy call (traj, obs, key) + env step (acting.py:34-57)."""
-    actions, policy_extras = policy(env_state.info["traj"], env_state.obs, key)
-    nstate = env.step(env_state, actions)
-    state_extras = {x: nstate.info[x] for x in extra_fields}
-    return nstate, Transition(
+    """One policy query + one env step, packed as a Transition."""
+    action, policy_extras = policy(
+        env_state.info["traj"], env_state.obs, key)
+    next_state = env.step(env_state, action)
+    return next_state, Transition(
         observation=env_state.obs,
-        action=actions,
-        reward=nstate.reward,
-        discount=1 - nstate.done,
-        next_observation=nstate.obs,
-        extras={"policy_extras": policy_extras, "state_extras": state_extras},
+        action=action,
+        reward=next_state.reward,
+        discount=1.0 - next_state.done,
+        next_observation=next_state.obs,
+        extras={
+            "policy_extras": policy_extras,
+            "state_extras": {k: next_state.info[k] for k in extra_fields},
+        },
     )
 
 
 def generate_unroll(env: Env, env_state: State, policy, key,
                     unroll_length: int,
                     extra_fields: Sequence[str] = ()) -> Tuple[State, Transition]:
-    """Scan rollout of unroll_length steps (acting.py:60-80)."""
+    """unroll_length sequential actor steps as one scan; returns the final
+    state and the stacked (time-leading) Transition."""
 
-    def f(carry, unused_t):
-        state, current_key = carry
-        current_key, next_key = jax.random.split(current_key)
-        nstate, transition = actor_step(
-            env, state, policy, current_key, extra_fields=extra_fields)
-        return (nstate, next_key), transition
+    def one_step(carry, _):
+        state, k = carry
+        step_key, k = jax.random.split(k)
+        state, transition = actor_step(env, state, policy, step_key,
+                                       extra_fields=extra_fields)
+        return (state, k), transition
 
-    (final_state, _), data = jax.lax.scan(
-        f, (env_state, key), (), length=unroll_length)
-    return final_state, data
+    (final_state, _), rollout = jax.lax.scan(
+        one_step, (env_state, key), (), length=unroll_length)
+    return final_state, rollout
 
 
 class Evaluator:
-    """Runs periodic evaluations (acting.py:84-156)."""
+    """Runs full-episode evaluations on a dedicated wrapped env."""
 
     def __init__(self, eval_env: Env, eval_policy_fn: Callable,
                  num_eval_envs: int, episode_length: int, action_repeat: int,
                  key):
         self._key = key
-        self._eval_walltime = 0.0
-        eval_env = EvalWrapper(eval_env)
+        self._walltime = 0.0
+        self._episode_steps = episode_length * num_eval_envs
+        wrapped = EvalWrapper(eval_env)
+        steps = episode_length // action_repeat
 
-        def generate_eval_unroll(policy_params, key):
-            reset_keys = jax.random.split(key, num_eval_envs)
-            eval_first_state = eval_env.reset(reset_keys)
-            return generate_unroll(
-                eval_env, eval_first_state, eval_policy_fn(policy_params),
-                key, unroll_length=episode_length // action_repeat)[0]
+        def run_episodes(policy_params, rng):
+            first_state = wrapped.reset(jax.random.split(rng, num_eval_envs))
+            last_state, _ = generate_unroll(
+                wrapped, first_state, eval_policy_fn(policy_params), rng,
+                unroll_length=steps)
+            return last_state
 
-        self._generate_eval_unroll = jax.jit(generate_eval_unroll)
-        self._steps_per_unroll = episode_length * num_eval_envs
+        self._run_episodes = jax.jit(run_episodes)
 
     def run_evaluation(self, policy_params, training_metrics: Metrics,
                        aggregate_episodes: bool = True) -> Metrics:
-        self._key, unroll_key = jax.random.split(self._key)
-        t = time.time()
-        eval_state = self._generate_eval_unroll(policy_params, unroll_key)
-        eval_metrics = eval_state.info["eval_metrics"]
-        eval_metrics.active_episodes.block_until_ready()
-        epoch_eval_time = time.time() - t
-        metrics = {}
-        for fn in [np.mean, np.std]:
-            suffix = "_std" if fn == np.std else ""
-            metrics.update({
-                f"eval/episode_{name}{suffix}": (
-                    fn(np.asarray(value)) if aggregate_episodes else value)
-                for name, value in eval_metrics.episode_metrics.items()
-            })
-        metrics["eval/avg_episode_length"] = float(
-            np.mean(np.asarray(eval_metrics.episode_steps)))
-        metrics["eval/epoch_eval_time"] = epoch_eval_time
-        metrics["eval/sps"] = self._steps_per_unroll / epoch_eval_time
-        self._eval_walltime += epoch_eval_time
-        return {"eval/walltime": self._eval_walltime,
-                **training_metrics, **metrics}
+        self._key, eval_key = jax.random.split(self._key)
+        start = time.time()
+        state = self._run_episodes(policy_params, eval_key)
+        tallies = state.info["eval_metrics"]
+        tallies.active_episodes.block_until_ready()
+        elapsed = time.time() - start
+        self._walltime += elapsed
+
+        out = {"eval/walltime": self._walltime, **training_metrics}
+        for name, per_episode in tallies.episode_metrics.items():
+            per_episode = np.asarray(per_episode)
+            if aggregate_episodes:
+                out[f"eval/episode_{name}"] = np.mean(per_episode)
+                out[f"eval/episode_{name}_std"] = np.std(per_episode)
+            else:
+                out[f"eval/episode_{name}"] = per_episode
+        out["eval/avg_episode_length"] = float(
+            np.mean(np.asarray(tallies.episode_steps)))
+        out["eval/epoch_eval_time"] = elapsed
+        out["eval/sps"] = self._episode_steps / elapsed
+        return out

@@ -1,9 +1,16 @@
-"""PPO + VAE-KL imitation losses.
+"""PPO surrogate + value + entropy + intention-KL loss.
 
-Re-implements /root/reference/ppo_imitation/intention_losses.py: GAE via a
-reverse scan, clipped surrogate, 0.25-weighted value loss, entropy bonus and
-the KL(intention ‖ N(0,1)) regularizer (MIMIC weighting, kl_weight 1e-4 per
-ppo_imitation/train.py:95).
+Behavioral spec from /root/reference/ppo_imitation/intention_losses.py:
+TD(lambda) targets via a reverse scan (ref :26-87), clipped importance
+surrogate (ref :171-178), value loss weighted 0.25 (ref :181-182), entropy
+bonus, and the VAE regularizer KL(posterior || N(0,1)) scaled by kl_weight
+(ref :187; "MIMIC" weighting, kl_weight 1e-4 per ppo_imitation/train.py:95).
+
+The GAE here is a single fused reverse scan that emits both the value
+targets and the advantages in one pass (the reference recomputes the
+advantage from the shifted targets afterwards; algebraically identical:
+adv_t = mask_t * (delta_t + c_t * gae_{t+1}) where c_t is the discount
+continuation and gae is the lambda-weighted tail).
 """
 
 from __future__ import annotations
@@ -24,39 +31,36 @@ class PPONetworkParams:
 
 
 def kl_divergence(mean, logvar):
-    """KL(N(mean, exp(logvar)) ‖ N(0, 1)), averaged over elements."""
-    return -0.5 * jnp.mean(1 + logvar - jnp.square(mean) - jnp.exp(logvar))
+    """Mean elementwise KL(N(mean, exp(logvar)) || N(0, 1))."""
+    var = jnp.exp(logvar)
+    return 0.5 * jnp.mean(jnp.square(mean) + var - logvar - 1.0)
 
 
 def compute_gae(truncation, termination, rewards, values, bootstrap_value,
                 lambda_: float = 1.0, discount: float = 0.99):
-    """Generalized advantage estimation over [T, B] tensors
-    (intention_losses.py:26-87)."""
-    truncation_mask = 1 - truncation
-    values_t_plus_1 = jnp.concatenate(
-        [values[1:], jnp.expand_dims(bootstrap_value, 0)], axis=0)
-    deltas = rewards + discount * (1 - termination) * values_t_plus_1 - values
-    deltas *= truncation_mask
+    """TD(lambda) value targets + advantages over [T, B] tensors.
 
-    acc = jnp.zeros_like(bootstrap_value)
+    Equivalent to the reference formulation (intention_losses.py:26-87):
+    truncated steps contribute nothing (mask), terminated steps cut the
+    discounted continuation.  Returns (targets, advantages), both with
+    gradients stopped.
+    """
+    mask = 1.0 - truncation
+    cont = discount * (1.0 - termination)  # discounted continuation weight
+    next_values = jnp.concatenate([values[1:], bootstrap_value[None]], axis=0)
+    deltas = rewards + cont * next_values - values  # one-step TD residuals
 
-    def compute_vs_minus_v_xs(carry, target_t):
-        lambda_, acc = carry
-        truncation_mask, delta, termination = target_t
-        acc = delta + discount * (1 - termination) * truncation_mask * lambda_ * acc
-        return (lambda_, acc), acc
+    def tail(gae, frame):
+        delta_t, cont_t, mask_t = frame
+        advantage = mask_t * (delta_t + cont_t * gae)
+        gae = mask_t * (delta_t + lambda_ * cont_t * gae)
+        return gae, (gae, advantage)
 
-    (_, _), vs_minus_v_xs = jax.lax.scan(
-        compute_vs_minus_v_xs, (lambda_, acc),
-        (truncation_mask, deltas, termination),
-        length=int(truncation_mask.shape[0]), reverse=True)
-
-    vs = jnp.add(vs_minus_v_xs, values)
-    vs_t_plus_1 = jnp.concatenate(
-        [vs[1:], jnp.expand_dims(bootstrap_value, 0)], axis=0)
-    advantages = (rewards + discount * (1 - termination) * vs_t_plus_1
-                  - values) * truncation_mask
-    return jax.lax.stop_gradient(vs), jax.lax.stop_gradient(advantages)
+    _, (lambda_returns, advantages) = jax.lax.scan(
+        tail, jnp.zeros_like(bootstrap_value), (deltas, cont, mask),
+        reverse=True)
+    targets = lambda_returns + values
+    return jax.lax.stop_gradient(targets), jax.lax.stop_gradient(advantages)
 
 
 def compute_ppo_intention_loss(
@@ -73,66 +77,63 @@ def compute_ppo_intention_loss(
     normalize_advantage: bool = True,
     kl_weight: float = 1e-4,
 ) -> Tuple[jax.Array, Metrics]:
-    """PPO loss with intention-KL term (intention_losses.py:91-202).
+    """Total loss + metrics for one minibatch (ref intention_losses.py:91-202).
 
-    data has leading dims [B, T]; required extras:
-    state_extras.truncation/traj, policy_extras.raw_action/log_prob.
+    data carries [B, T] leading dims; needs extras.state_extras.{truncation,
+    traj} and extras.policy_extras.{raw_action, log_prob}.
     """
-    parametric_action_distribution = ppo_network.parametric_action_distribution
-    policy_apply = ppo_network.policy_network.apply
-    value_apply = ppo_network.value_network.apply
+    dist = ppo_network.parametric_action_distribution
 
-    # [B, T] -> [T, B]
-    data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), data)
-    rng, policy_rng = jax.random.split(rng)
-    policy_logits, intention_mean, intention_logvar = policy_apply(
-        normalizer_params, params.policy,
-        data.extras["state_extras"]["traj"], data.observation, policy_rng)
+    # time-major views of everything the loss touches
+    tm = lambda x: jnp.swapaxes(x, 0, 1)
+    obs = tm(data.observation)
+    traj = tm(data.extras["state_extras"]["traj"])
+    truncation = tm(data.extras["state_extras"]["truncation"])
+    behaviour_raw = tm(data.extras["policy_extras"]["raw_action"])
+    behaviour_logp = tm(data.extras["policy_extras"]["log_prob"])
+    rewards = tm(data.reward) * reward_scaling
+    # discount==0 and not truncated <=> environment termination
+    termination = (1.0 - tm(data.discount)) * (1.0 - truncation)
 
-    baseline = value_apply(normalizer_params, params.value, data.observation)
-    bootstrap_value = value_apply(normalizer_params, params.value,
-                                  data.next_observation[-1])
+    # fresh latent sample per update (ref :133-139)
+    rng, net_rng, entropy_rng = jax.random.split(rng, 3)
+    dist_params, post_mean, post_logvar = ppo_network.policy_network.apply(
+        normalizer_params, params.policy, traj, obs, net_rng)
+    values = ppo_network.value_network.apply(
+        normalizer_params, params.value, obs)
+    tail_value = ppo_network.value_network.apply(
+        normalizer_params, params.value, tm(data.next_observation)[-1])
 
-    rewards = data.reward * reward_scaling
-    truncation = data.extras["state_extras"]["truncation"]
-    termination = (1 - data.discount) * (1 - truncation)
-
-    target_action_log_probs = parametric_action_distribution.log_prob(
-        policy_logits, data.extras["policy_extras"]["raw_action"])
-    behaviour_action_log_probs = data.extras["policy_extras"]["log_prob"]
-
-    vs, advantages = compute_gae(
+    targets, advantages = compute_gae(
         truncation=truncation, termination=termination, rewards=rewards,
-        values=baseline, bootstrap_value=bootstrap_value,
+        values=values, bootstrap_value=tail_value,
         lambda_=gae_lambda, discount=discounting)
-
     if normalize_advantage:
-        advantages = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
-    rho_s = jnp.exp(target_action_log_probs - behaviour_action_log_probs)
+        advantages = ((advantages - advantages.mean())
+                      / (advantages.std() + 1e-8))
 
-    surrogate_loss1 = rho_s * advantages
-    surrogate_loss2 = jnp.clip(
-        rho_s, 1 - clipping_epsilon, 1 + clipping_epsilon) * advantages
-    policy_loss = -jnp.mean(jnp.minimum(surrogate_loss1, surrogate_loss2))
+    log_ratio = dist.log_prob(dist_params, behaviour_raw) - behaviour_logp
+    ratio = jnp.exp(log_ratio)
+    clipped_ratio = jnp.clip(ratio, 1.0 - clipping_epsilon,
+                             1.0 + clipping_epsilon)
+    surrogate = -jnp.mean(
+        jnp.minimum(ratio * advantages, clipped_ratio * advantages))
 
-    v_error = vs - baseline
-    v_loss = jnp.mean(v_error * v_error) * 0.5 * 0.5
+    value_error = targets - values
+    value_loss = 0.25 * jnp.mean(jnp.square(value_error))
 
-    entropy = jnp.mean(parametric_action_distribution.entropy(
-        policy_logits, rng))
-    entropy_loss = entropy_cost * -entropy
-    kl_intention = kl_weight * kl_divergence(intention_mean, intention_logvar)
+    entropy_bonus = -entropy_cost * jnp.mean(
+        dist.entropy(dist_params, entropy_rng))
+    posterior_kl = kl_weight * kl_divergence(post_mean, post_logvar)
 
-    prediction_corr = jnp.corrcoef(vs.ravel(), rewards.ravel())[0, 1]
-    explained_variance = 1.0 - v_loss / jnp.var(rewards)
-
-    total_loss = policy_loss + v_loss + entropy_loss + kl_intention
-    return total_loss, {
-        "total_loss": total_loss,
-        "policy_loss": policy_loss,
-        "v_loss": v_loss,
-        "entropy_loss": entropy_loss,
-        "kl_loss_intention": kl_intention,
-        "prediction_corr": prediction_corr,
-        "explained_variance": explained_variance,
+    total = surrogate + value_loss + entropy_bonus + posterior_kl
+    return total, {
+        "total_loss": total,
+        "policy_loss": surrogate,
+        "v_loss": value_loss,
+        "entropy_loss": entropy_bonus,
+        "kl_loss_intention": posterior_kl,
+        "prediction_corr": jnp.corrcoef(targets.ravel(),
+                                        rewards.ravel())[0, 1],
+        "explained_variance": 1.0 - value_loss / jnp.var(rewards),
     }

@@ -1,29 +1,29 @@
-"""Intention-PPO trainer: one donated jitted epoch under shard_map.
+"""Intention-PPO trainer: donated jitted programs under shard_map on a Mesh.
 
-Re-implements the reference's forked-brax trainer
-(/root/reference/ppo_imitation/train.py:62-491) with a TPU-first execution
-model: instead of jax.pmap, the training epoch is a single jitted program
-shard_mapped over an explicit device Mesh — envs sharded along the mesh
-"data" axis, parameters replicated, gradient pmean and normalizer psum as
-XLA collectives on that axis.  Epoch structure matches the reference:
+Re-engineers the reference's forked-brax trainer
+(/root/reference/ppo_imitation/train.py:62-491) TPU-first: instead of
+jax.pmap, each training program is jitted once and shard_mapped over an
+explicit device Mesh — envs sharded along the mesh "data" axis, parameters
+replicated, gradient pmean and normalizer psum as XLA collectives on that
+axis.  The epoch structure (rollout scan -> normalizer update -> shuffled
+minibatch SGD scans) follows the reference; the execution model does not.
 
-  scan training_step x steps_per_epoch
-    scan generate_unroll x (batch*minibatch/num_envs)   # rollout
-    normalizer update (psum over mesh)
-    scan sgd_step x num_updates_per_batch
-      scan minibatch_step x num_minibatches             # pmean(grads)
-
-Additions over the reference (SURVEY.md §5.4): full-state checkpointing
-with resume (params + optimizer + normalizer + env_steps) via
-vnl_tpu.training.checkpoint.
+Deviations (documented):
+- Full-state checkpointing with resume (params + optimizer + normalizer +
+  env_steps); the reference is save-only (SURVEY.md §5.4).
+- The number of training steps compiled into one XLA program is capped
+  (VNL_TPU_MAX_STEPS_PER_PROGRAM, default 50) and the host re-invokes the
+  program to fill the eval interval: very long training scans have
+  triggered TPU-runtime device faults (CLAUDE.md round-1 incidents).
 """
 
 from __future__ import annotations
 
 import functools
 import logging
+import os
 import time
-from typing import Callable, Optional, Tuple
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,12 +44,16 @@ _AXIS = "data"
 
 @struct.dataclass
 class TrainingState:
-    """Learner state (ppo_imitation/train.py:38-45)."""
+    """Everything the learner carries across steps (and into checkpoints)."""
 
     optimizer_state: optax.OptState
     params: PPONetworkParams
     normalizer_params: running_statistics.RunningStatisticsState
     env_steps: jax.Array
+
+
+def _steps_dtype():
+    return jnp.int64 if jax.config.jax_enable_x64 else jnp.int32
 
 
 def train(
@@ -83,42 +87,47 @@ def train(
     restore_checkpoint_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
 ):
-    """PPO training; returns (make_policy, (normalizer_params, policy_params),
-    metrics). Argument semantics follow ppo_imitation/train.py:62-147."""
-    assert batch_size * num_minibatches % num_envs == 0
-    xt = time.time()
+    """Runs PPO; returns (make_policy, (normalizer_params, policy_params),
+    metrics).  Argument semantics follow ppo_imitation/train.py:62-147."""
+    if batch_size * num_minibatches % num_envs != 0:
+        raise ValueError(
+            "num_envs must divide batch_size * num_minibatches")
+    start_walltime = time.time()
 
-    # Keep the solver scans rolled inside the (very large) training-epoch
-    # program: full unroll is a ~17% step win in small rollout programs but
+    # Keep the solver scans rolled inside the (very large) training
+    # programs: full unroll is a ~17% step win in small rollout programs but
     # has triggered TPU device faults when multiplied into the epoch graph
     # (CLAUDE.md round-1 incidents). Users can override explicitly.
-    import os
     os.environ.setdefault("VNL_TPU_SOLVER_UNROLL", "1")
 
     mesh = mesh_lib.create_mesh(num_devices, _AXIS)
-    device_count = mesh.devices.size
+    n_chips = mesh.devices.size
     process_count = jax.process_count()
     process_id = jax.process_index()
-    logging.info(
-        "mesh devices: %d, process count: %d (id %d)",
-        device_count, process_count, process_id)
-    assert num_envs % device_count == 0
-    local_envs = num_envs // device_count
+    logging.info("mesh devices: %d, process count: %d (id %d)",
+                 n_chips, process_count, process_id)
+    if num_envs % n_chips != 0:
+        raise ValueError(f"num_envs={num_envs} not divisible by {n_chips}")
 
-    env_step_per_training_step = batch_size * unroll_length * num_minibatches * action_repeat
-    num_evals_after_init = max(num_evals - 1, 1)
-    num_training_steps_per_epoch = int(np.ceil(
-        num_timesteps / (num_evals_after_init * env_step_per_training_step)))
+    steps_per_training_step = (
+        batch_size * unroll_length * num_minibatches * action_repeat)
+    intervals = max(num_evals - 1, 1)
+    steps_per_interval = int(np.ceil(
+        num_timesteps / (intervals * steps_per_training_step)))
+    # cap the scan length compiled into any single program; the host loops
+    # the program to cover the interval
+    program_cap = max(1, int(os.environ.get(
+        "VNL_TPU_MAX_STEPS_PER_PROGRAM", "50")))
+    programs_per_interval = int(np.ceil(steps_per_interval / program_cap))
+    scan_len = int(np.ceil(steps_per_interval / programs_per_interval))
 
-    # PRNG topology (ppo_imitation/train.py:185-192): per-process local keys,
-    # global network-init keys.
-    key = jax.random.PRNGKey(seed)
-    global_key, local_key = jax.random.split(key)
-    del key
-    local_key = jax.random.fold_in(local_key, process_id)
-    local_key, key_env, eval_key = jax.random.split(local_key, 3)
-    key_policy, key_value = jax.random.split(global_key)
-    del global_key
+    # PRNG topology (ref :185-192): env/epoch keys are per-process, network
+    # init keys are global so every host initializes identical params.
+    root = jax.random.PRNGKey(seed)
+    net_key, proc_key = jax.random.split(root)
+    proc_key = jax.random.fold_in(proc_key, process_id)
+    proc_key, env_key, eval_key = jax.random.split(proc_key, 3)
+    policy_init_key, value_init_key = jax.random.split(net_key)
 
     env = envs_lib.wrap_for_training(
         environment, episode_length=episode_length,
@@ -127,13 +136,11 @@ def train(
     sharded = NamedSharding(mesh, P(_AXIS))
     replicated = NamedSharding(mesh, P())
 
-    key_envs = jax.random.split(key_env, num_envs)
-    reset_fn = jax.jit(env.reset, out_shardings=sharded)
-    env_state = reset_fn(jax.device_put(key_envs, sharded))
+    env_state = jax.jit(env.reset, out_shardings=sharded)(
+        jax.device_put(jax.random.split(env_key, num_envs), sharded))
 
-    normalize = lambda x, y: x
-    if normalize_observations:
-        normalize = running_statistics.normalize
+    normalize = (running_statistics.normalize if normalize_observations
+                 else (lambda x, y: x))
     ppo_network = network_factory(
         env_state.info["traj"].shape[-1],
         env_state.obs.shape[-1],
@@ -142,138 +149,148 @@ def train(
     make_policy = models_lib.make_inference_fn(ppo_network)
 
     optimizer = optax.adam(optax.constant_schedule(learning_rate))
-
     loss_fn = functools.partial(
         ppo_losses.compute_ppo_intention_loss,
         ppo_network=ppo_network, entropy_cost=entropy_cost,
         discounting=discounting, reward_scaling=reward_scaling,
         gae_lambda=gae_lambda, clipping_epsilon=clipping_epsilon,
         normalize_advantage=normalize_advantage, kl_weight=kl_weight)
-
-    gradient_update_fn = gradients.gradient_update_fn(
+    update_step = gradients.gradient_update_fn(
         loss_fn, optimizer, axis_name=_AXIS, has_aux=True)
 
-    def minibatch_step(carry, data, normalizer_params):
-        optimizer_state, params, key = carry
-        key, key_loss = jax.random.split(key)
-        (_, metrics), params, optimizer_state = gradient_update_fn(
-            params, normalizer_params, data, key_loss,
-            optimizer_state=optimizer_state)
-        return (optimizer_state, params, key), metrics
+    rollouts_per_step = batch_size * num_minibatches // num_envs
 
-    def sgd_step(carry, unused_t, data, normalizer_params):
-        optimizer_state, params, key = carry
-        key, key_perm, key_grad = jax.random.split(key, 3)
+    def collect_rollouts(policy, env_state, rng):
+        """Fills one training batch: rollouts_per_step unrolls of
+        unroll_length, flattened to [B_local, T] leading dims."""
 
-        def convert_data(x):
-            x = jax.random.permutation(key_perm, x)
-            return jnp.reshape(x, (num_minibatches, -1) + x.shape[1:])
-
-        shuffled_data = jax.tree_util.tree_map(convert_data, data)
-        (optimizer_state, params, _), metrics = jax.lax.scan(
-            functools.partial(minibatch_step,
-                              normalizer_params=normalizer_params),
-            (optimizer_state, params, key_grad), shuffled_data,
-            length=num_minibatches)
-        return (optimizer_state, params, key), metrics
-
-    def training_step(carry, unused_t):
-        training_state, state, key = carry
-        key_sgd, key_generate_unroll, new_key = jax.random.split(key, 3)
-        policy = make_policy(
-            (training_state.normalizer_params, training_state.params.policy))
-
-        def f(carry, unused_t):
-            current_state, current_key = carry
-            current_key, next_key = jax.random.split(current_key)
-            next_state, data = acting.generate_unroll(
-                env, current_state, policy, current_key, unroll_length,
+        def one_unroll(carry, _):
+            state, k = carry
+            unroll_key, k = jax.random.split(k)
+            state, chunk = acting.generate_unroll(
+                env, state, policy, unroll_key, unroll_length,
                 extra_fields=("truncation", "traj"))
-            return (next_state, next_key), data
+            return (state, k), chunk
 
-        (state, _), data = jax.lax.scan(
-            f, (state, key_generate_unroll), (),
-            length=batch_size * num_minibatches // num_envs)
-        # leading dims -> (B_local, unroll_length)
-        data = jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 1, 2), data)
-        data = jax.tree_util.tree_map(
-            lambda x: jnp.reshape(x, (-1,) + x.shape[2:]), data)
+        (env_state, _), batch = jax.lax.scan(
+            one_unroll, (env_state, rng), (), length=rollouts_per_step)
+        # [rollouts, T, B_env, ...] -> [rollouts * B_env, T, ...]
+        def flatten(x):
+            x = jnp.swapaxes(x, 1, 2)
+            return x.reshape((-1,) + x.shape[2:])
+
+        return env_state, jax.tree_util.tree_map(flatten, batch)
+
+    def learn_on_batch(carry, _, batch, normalizer_params):
+        """One pass over the batch: shuffle, split into minibatches, scan
+        gradient updates (grads pmean'd over the mesh inside update_step)."""
+        opt_state, net_params, rng = carry
+        shuffle_rng, grad_rng, rng = jax.random.split(rng, 3)
+
+        n_rows = batch.observation.shape[0]
+        order = jax.random.permutation(shuffle_rng, n_rows)
+        minibatched = jax.tree_util.tree_map(
+            lambda x: x[order].reshape((num_minibatches, -1) + x.shape[1:]),
+            batch)
+
+        def apply_minibatch(carry, minibatch):
+            opt_state, net_params, k = carry
+            k, loss_key = jax.random.split(k)
+            (_, stats), net_params, opt_state = update_step(
+                net_params, normalizer_params, minibatch, loss_key,
+                optimizer_state=opt_state)
+            return (opt_state, net_params, k), stats
+
+        (opt_state, net_params, _), stats = jax.lax.scan(
+            apply_minibatch, (opt_state, net_params, grad_rng), minibatched)
+        return (opt_state, net_params, rng), stats
+
+    def one_training_step(carry, _):
+        ts, env_state, rng = carry
+        rollout_rng, learn_rng, rng = jax.random.split(rng, 3)
+        policy = make_policy((ts.normalizer_params, ts.params.policy))
+
+        env_state, batch = collect_rollouts(policy, env_state, rollout_rng)
 
         normalizer_params = running_statistics.update(
-            training_state.normalizer_params, data.observation,
-            axis_name=_AXIS)
+            ts.normalizer_params, batch.observation, axis_name=_AXIS)
 
-        (optimizer_state, params, _), metrics = jax.lax.scan(
-            functools.partial(sgd_step, data=data,
+        (opt_state, net_params, _), stats = jax.lax.scan(
+            functools.partial(learn_on_batch, batch=batch,
                               normalizer_params=normalizer_params),
-            (training_state.optimizer_state, training_state.params, key_sgd),
-            (), length=num_updates_per_batch)
+            (ts.optimizer_state, ts.params, learn_rng), (),
+            length=num_updates_per_batch)
 
-        new_training_state = TrainingState(
-            optimizer_state=optimizer_state, params=params,
+        ts = TrainingState(
+            optimizer_state=opt_state, params=net_params,
             normalizer_params=normalizer_params,
-            env_steps=training_state.env_steps + env_step_per_training_step)
-        return (new_training_state, state, new_key), metrics
+            env_steps=ts.env_steps + steps_per_training_step)
+        return (ts, env_state, rng), stats
 
-    def training_epoch(training_state, state, key):
-        # key arrives per-device with a leading shard axis of 1
-        key = key.reshape(key.shape[-1:]) if key.ndim > 1 else key
-        (training_state, state, _), loss_metrics = jax.lax.scan(
-            training_step, (training_state, state, key), (),
-            length=num_training_steps_per_epoch)
-        loss_metrics = jax.tree_util.tree_map(jnp.mean, loss_metrics)
-        loss_metrics = jax.lax.pmean(loss_metrics, _AXIS)
-        return training_state, state, loss_metrics
+    def run_program(ts, env_state, rng):
+        # rng arrives per-device with a leading shard axis of 1
+        rng = rng.reshape(rng.shape[-1:]) if rng.ndim > 1 else rng
+        (ts, env_state, _), stats = jax.lax.scan(
+            one_training_step, (ts, env_state, rng), (), length=scan_len)
+        stats = jax.lax.pmean(
+            jax.tree_util.tree_map(jnp.mean, stats), _AXIS)
+        return ts, env_state, stats
 
-    training_epoch = mesh_lib.shard_map_fn(
-        training_epoch, mesh,
-        in_specs=(P(), P(_AXIS), P(_AXIS)),
-        out_specs=(P(), P(_AXIS), P()))
-    training_epoch = jax.jit(training_epoch, donate_argnums=(0, 1))
+    run_program = jax.jit(
+        mesh_lib.shard_map_fn(
+            run_program, mesh,
+            in_specs=(P(), P(_AXIS), P(_AXIS)),
+            out_specs=(P(), P(_AXIS), P())),
+        donate_argnums=(0, 1))
 
     training_walltime = 0.0
 
-    def training_epoch_with_timing(training_state, env_state, key):
+    def run_interval(ts, env_state, rng):
+        """programs_per_interval invocations of the jitted program = one
+        eval interval; returns averaged loss stats + timing metrics."""
         nonlocal training_walltime
-        t = time.time()
-        training_state, env_state, metrics = training_epoch(
-            training_state, env_state, key)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), metrics)
-        epoch_training_time = time.time() - t
-        training_walltime += epoch_training_time
-        sps = (num_training_steps_per_epoch * env_step_per_training_step
-               ) / epoch_training_time
+        t0 = time.time()
+        stats_acc = []
+        for j in range(programs_per_interval):
+            rng, program_rng = jax.random.split(rng)
+            program_keys = jax.device_put(
+                jax.random.split(program_rng, n_chips), sharded)
+            ts, env_state, stats = run_program(ts, env_state, program_keys)
+            stats_acc.append(stats)
+        jax.tree_util.tree_map(lambda x: x.block_until_ready(), stats_acc[-1])
+        elapsed = time.time() - t0
+        training_walltime += elapsed
+        sps = (programs_per_interval * scan_len * steps_per_training_step
+               ) / elapsed
         metrics = {
             "training/sps": sps,
             "training/walltime": training_walltime,
-            **{f"training/{name}": float(np.asarray(value))
-               for name, value in metrics.items()},
+            **{f"training/{name}": float(np.mean([np.asarray(s[name])
+                                                  for s in stats_acc]))
+               for name in stats_acc[0]},
         }
-        return training_state, env_state, metrics
+        return ts, env_state, metrics
 
     init_params = PPONetworkParams(
-        policy=ppo_network.policy_network.init(key_policy),
-        value=ppo_network.value_network.init(key_value))
+        policy=ppo_network.policy_network.init(policy_init_key),
+        value=ppo_network.value_network.init(value_init_key))
     training_state = TrainingState(
         optimizer_state=optimizer.init(init_params),
         params=init_params,
         normalizer_params=running_statistics.init_state(
             env_state.obs.shape[-1:]),
-        env_steps=jnp.zeros((), jnp.int64 if jax.config.jax_enable_x64
-                            else jnp.int32))
+        env_steps=jnp.zeros((), _steps_dtype()))
     if restore_checkpoint_path is not None:
         from vnl_tpu.training import checkpoint
         training_state = checkpoint.restore(restore_checkpoint_path,
                                             training_state)
     training_state = jax.device_put(training_state, replicated)
 
-    if not eval_env:
-        eval_env = environment
-    eval_env = envs_lib.wrap_for_training(
-        eval_env, episode_length=episode_length, action_repeat=action_repeat)
     evaluator = acting.Evaluator(
-        eval_env, functools.partial(make_policy,
-                                    deterministic=deterministic_eval),
+        envs_lib.wrap_for_training(
+            eval_env or environment, episode_length=episode_length,
+            action_repeat=action_repeat),
+        functools.partial(make_policy, deterministic=deterministic_eval),
         num_eval_envs=num_eval_envs, episode_length=episode_length,
         action_repeat=action_repeat, key=eval_key)
 
@@ -285,36 +302,29 @@ def train(
         logging.info(metrics)
         progress_fn(0, metrics)
 
-    training_metrics = {}
     current_step = 0
-    for it in range(num_evals_after_init):
-        logging.info("starting iteration %s %s", it, time.time() - xt)
-        epoch_key, local_key = jax.random.split(local_key)
-        epoch_keys = jax.device_put(
-            jax.random.split(epoch_key, device_count), sharded)
-        training_state, env_state, training_metrics = (
-            training_epoch_with_timing(training_state, env_state, epoch_keys))
+    for interval in range(intervals):
+        logging.info("starting interval %s t=%.1fs", interval,
+                     time.time() - start_walltime)
+        proc_key, interval_key = jax.random.split(proc_key)
+        training_state, env_state, training_metrics = run_interval(
+            training_state, env_state, interval_key)
         current_step = int(np.asarray(training_state.env_steps))
 
         if process_id == 0:
-            metrics = evaluator.run_evaluation(
-                (training_state.normalizer_params,
-                 training_state.params.policy),
-                training_metrics)
-            logging.info(metrics)
-            progress_fn(current_step, metrics)
             params = (training_state.normalizer_params,
                       training_state.params.policy)
+            metrics = evaluator.run_evaluation(params, training_metrics)
+            logging.info(metrics)
+            progress_fn(current_step, metrics)
             policy_params_fn(current_step, make_policy, params)
             if checkpoint_dir is not None:
                 from vnl_tpu.training import checkpoint
                 checkpoint.save(checkpoint_dir, current_step, training_state)
 
-    total_steps = current_step
-    assert total_steps >= num_timesteps
-
+    assert current_step >= num_timesteps
     mesh_lib.assert_is_replicated(training_state)
     params = (training_state.normalizer_params, training_state.params.policy)
-    logging.info("total steps: %s", total_steps)
+    logging.info("total steps: %s", current_step)
     mesh_lib.synchronize_hosts()
     return make_policy, params, metrics
