@@ -1,25 +1,18 @@
 """Composite rigid body mass matrix and factorization.
 
-TPU-first formulation: the CRB backward pass is a short level-synchronized
-scatter-add over tree depths; the mass matrix assembles as one (nv,6)x(6,nv)
-matmul masked by the static dof-ancestor table — MXU-friendly and free of
-per-joint control flow.  Replaces MuJoCo's mj_crb + mj_factorM (sparse LDL)
-with dense batched Cholesky, which XLA batches well at nv<=73.
+TPU-first formulation: the CRB subtree sum is one static-mask matmul, and
+the mass matrix assembles as one (nv,6)x(6,nv) matmul masked by the static
+dof-ancestor table — MXU-friendly and free of per-joint control flow.
+Replaces MuJoCo's mj_crb + mj_factorM (sparse LDL) with an all-matmul
+Schur-complement inverse (ops/linalg.inv_spd).
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from vnl_tpu.physics.model import Data, Model
-
-
-def _levels(m: Model):
-    depth = m.body_treeid
-    return [np.nonzero(depth == d)[0].astype(np.int32)
-            for d in range(1, int(depth.max()) + 1 if m.nbody > 1 else 1)]
 
 
 def crb(m: Model, d: Data) -> Data:

@@ -1,18 +1,20 @@
 """Forward kinematics and com-frame quantities.
 
-Level-parallel formulation: bodies are grouped by tree depth at trace time
-(static metadata), so each depth level is one vectorized batch of quaternion
-ops instead of a 65-iteration sequential scan — the tree serial chain is
-only as long as the deepest path (~15 for the rodent), and everything
-vmaps cleanly over env batches.
+Log-depth formulation: every joint's and body-offset's LOCAL rigid
+transform is computed in one vectorized pass (static joint-type masks, no
+level loop), then world poses come from composing along the kinematic tree
+with pointer doubling — ceil(log2(depth)) parallel composition rounds over
+a static "node" graph (one node per body offset + one per joint), each
+round a pair of static gathers + one quaternion compose over ALL nodes.
+For the 65-body rodent this is 6 rounds instead of a 15-level sequential
+chain, and an order of magnitude fewer XLA ops (the engine is
+op-count-bound on TPU, not FLOP-bound).
 
 Covers mj_kinematics + mj_comPos (cf. mjx ``smooth.kinematics`` used by the
 reference at /root/reference/preprocessing/mjx_preprocess.py:137-147).
 """
 
 from __future__ import annotations
-
-from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -28,95 +30,115 @@ def _window_gather(x, adr: np.ndarray, offset: int, width: int):
     return jnp.stack(cols, axis=-1)
 
 
-def _levels(m: Model) -> List[np.ndarray]:
-    """Static body-id groups by depth (excluding world)."""
-    depth = m.body_treeid
-    out = []
-    for d in range(1, int(depth.max()) + 1 if m.nbody > 1 else 1):
-        out.append(np.nonzero(depth == d)[0].astype(np.int32))
+_NODE_CACHE: dict = {}
+
+
+def _node_graph(m: Model):
+    """Static expanded-tree metadata for pointer-doubling FK.
+
+    Nodes: one per non-world body "offset" transform (index b-1) and one
+    per joint (index nbody-1 + j), plus an identity sentinel at index N.
+    A free joint's parent is the sentinel — it resets the chain to world
+    (MuJoCo free joints ignore the body offset).  Returns (jump_tables,
+    final_node (nbody,), joint_pre_node (njnt,)), all numpy.
+    """
+    key = (m.nbody, m.njnt, tuple(int(x) for x in m.body_parentid),
+           tuple(int(x) for x in m.jnt_type),
+           tuple(int(x) for x in m.body_jntadr),
+           tuple(int(x) for x in m.body_jntnum))
+    hit = _NODE_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    nb, nj = m.nbody, m.njnt
+    n_off = nb - 1
+    N = n_off + nj                      # sentinel index
+    parent = np.full(N + 1, N, np.int64)
+    final_node = np.full(nb, N, np.int64)   # world body -> sentinel
+    for b in range(1, nb):
+        off = b - 1
+        parent[off] = final_node[m.body_parentid[b]]
+        last = off
+        for k in range(int(m.body_jntnum[b])):
+            j = int(m.body_jntadr[b]) + k
+            node = n_off + j
+            parent[node] = (N if m.jnt_type[j] == int(JointType.FREE)
+                            else last)
+            last = node
+        final_node[b] = last
+
+    jumps = []
+    cur = parent.copy()
+    while not np.all(cur == N):
+        jumps.append(cur.copy())
+        cur = cur[cur]                  # cur[N] == N keeps sentinel fixed
+
+    pre_node = parent[n_off:N].copy()   # joint's frame BEFORE the joint
+    out = (jumps, final_node, pre_node)
+    _NODE_CACHE[key] = out
     return out
 
 
 def kinematics(m: Model, d: Data) -> Data:
-    """Computes xpos/xquat/xmat, joint anchors/axes, geom/site poses."""
+    """Computes xpos/xquat/xmat, joint anchors/axes, geom/site poses.
+
+    One vectorized local-transform pass over all joints, then
+    ceil(log2(depth)) pointer-doubling composition rounds (see module
+    docstring) — no level loop, no scatters.
+    """
     qpos = d.qpos
     dtype = qpos.dtype
-    nb = m.nbody
+    nb, nj = m.nbody, m.njnt
+    jumps, final_node, pre_node = _node_graph(m)
 
-    xpos = jnp.zeros((nb, 3), dtype)
-    xquat = jnp.zeros((nb, 4), dtype).at[:, 0].set(1.0)
-    xanchor = jnp.zeros((m.njnt, 3), dtype)
-    xaxis = jnp.asarray(m.jnt_axis, dtype)
+    # ---- local transforms for every joint, all types at once ----
+    jadr = m.jnt_qposadr                         # static numpy
+    jt = m.jnt_type                              # static numpy
+    unit = jnp.zeros((nj, 4), dtype).at[:, 0].set(1.0)
+    scalar = qpos[jnp.asarray(jadr)] - m.qpos0[jnp.asarray(jadr)]
+    q_hinge = vmath.axis_angle_to_quat(m.jnt_axis, scalar)
+    q_ball = vmath.normalize(_window_gather(qpos, jadr, 0, 4))
+    q_free = vmath.normalize(_window_gather(qpos, jadr, 3, 4))
 
-    for level in _levels(m):
-        bids = jnp.asarray(level)
-        parent = jnp.asarray(m.body_parentid[level])
-        p_pos = xpos[parent]
-        p_quat = xquat[parent]
-        # frame from parent + fixed body offset
-        pos = p_pos + vmath.quat_rotate(p_quat, m.body_pos[bids])
-        quat = vmath.quat_mul(p_quat, m.body_quat[bids])
+    def jmask(t):
+        return jnp.asarray(jt == int(t))[:, None]
 
-        # Apply this level's joints slot-by-slot (bodies may have several
-        # joints).  Each slot computes candidate updates for EVERY level
-        # body under every joint type and merges them with static masks —
-        # no pos/quat scatters.  (A previous formulation using masked
-        # .at[idx].set updates was miscompiled by XLA:CPU for levels mixing
-        # ball and hinge joints; see tests/test_physics_property.py.)
-        max_jnts = int(m.body_jntnum[level].max()) if len(level) else 0
-        for k in range(max_jnts):
-            has = m.body_jntnum[level] > k
-            jids = np.where(has, m.body_jntadr[level] + k, 0)
-            jt = m.jnt_type[jids]  # static per body
-            jadr = m.jnt_qposadr[jids]
-            jids_j = jnp.asarray(jids)
-            jadr_j = jnp.asarray(jadr)
+    q_loc = jnp.where(jmask(JointType.HINGE), q_hinge,
+             jnp.where(jmask(JointType.BALL), q_ball,
+              jnp.where(jmask(JointType.FREE), q_free, unit)))
+    # rotations act about the joint anchor (jnt_pos, body frame)
+    p_rot = m.jnt_pos - vmath.quat_rotate(q_loc, m.jnt_pos)
+    p_loc = jnp.where(jmask(JointType.SLIDE), m.jnt_axis * scalar[:, None],
+             jnp.where(jmask(JointType.FREE),
+                       _window_gather(qpos, jadr, 0, 3), p_rot))
 
-            jpos_l = m.jnt_pos[jids_j]
-            jaxis_l = m.jnt_axis[jids_j]
-            anchor = pos + vmath.quat_rotate(quat, jpos_l)
-            world_axis = vmath.quat_rotate(quat, jaxis_l)
+    # ---- node arrays: [body offsets | joints | identity sentinel] ----
+    node_q = jnp.concatenate([
+        m.body_quat[1:].astype(dtype), q_loc,
+        jnp.zeros((1, 4), dtype).at[0, 0].set(1.0)])
+    node_p = jnp.concatenate([
+        m.body_pos[1:].astype(dtype), p_loc, jnp.zeros((1, 3), dtype)])
 
-            # record anchors/axes at application time for present joints
-            rec = has & (jt != int(JointType.FREE))
-            if rec.any():
-                ridx = np.nonzero(rec)[0]
-                xanchor = xanchor.at[jnp.asarray(jids[ridx])].set(anchor[ridx])
-                xaxis = xaxis.at[jnp.asarray(jids[ridx])].set(
-                    world_axis[ridx])
+    # ---- pointer-doubling composition: world = ancestors ∘ self ----
+    for jump in jumps:
+        ji = jnp.asarray(jump)
+        aq, ap = node_q[ji], node_p[ji]
+        node_p = ap + vmath.quat_rotate(aq, node_p)
+        node_q = vmath.quat_mul(aq, node_q)
+    node_q = vmath.normalize(node_q)
 
-            # candidate updates per joint type (garbage lanes masked below)
-            ref = m.qpos0[jadr_j]
-            scalar = qpos[jadr_j] - ref
-            qj_h = vmath.axis_angle_to_quat(jaxis_l, scalar)
-            q_hinge = vmath.quat_mul(quat, qj_h)
-            p_hinge = anchor - vmath.quat_rotate(q_hinge, jpos_l)
-            p_slide = pos + world_axis * scalar[..., None]
-            qj_b = vmath.normalize(_window_gather(qpos, jadr, 0, 4))
-            q_ball = vmath.quat_mul(quat, qj_b)
-            p_ball = anchor - vmath.quat_rotate(q_ball, jpos_l)
-            p_free = _window_gather(qpos, jadr, 0, 3)
-            q_free = vmath.normalize(_window_gather(qpos, jadr, 3, 4))
+    # ---- extraction ----
+    fidx = jnp.asarray(final_node)
+    xpos = node_p[fidx]
+    xquat = node_q[fidx]
 
-            def mask(t):
-                sel = (jt == int(t)) & has
-                return jnp.asarray(sel)[:, None]
-
-            quat = jnp.where(mask(JointType.HINGE), q_hinge,
-                    jnp.where(mask(JointType.BALL), q_ball,
-                     jnp.where(mask(JointType.FREE), q_free, quat)))
-            pos = jnp.where(mask(JointType.HINGE), p_hinge,
-                   jnp.where(mask(JointType.SLIDE), p_slide,
-                    jnp.where(mask(JointType.BALL), p_ball,
-                     jnp.where(mask(JointType.FREE), p_free, pos))))
-        xpos = xpos.at[bids].set(pos)
-        xquat = xquat.at[bids].set(quat)
-
-    # free-joint anchors: the body frame origin
-    free_j = np.nonzero(m.jnt_type == int(JointType.FREE))[0]
-    if len(free_j):
-        fj = jnp.asarray(free_j)
-        xanchor = xanchor.at[fj].set(xpos[jnp.asarray(m.jnt_bodyid[free_j])])
+    pidx = jnp.asarray(pre_node)
+    pq, pp = node_q[pidx], node_p[pidx]
+    anchor = pp + vmath.quat_rotate(pq, m.jnt_pos)
+    axis_w = vmath.quat_rotate(pq, m.jnt_axis)
+    free_m = jnp.asarray(jt == int(JointType.FREE))[:, None]
+    xanchor = jnp.where(free_m, xpos[jnp.asarray(m.jnt_bodyid)], anchor)
+    xaxis = jnp.where(free_m, m.jnt_axis.astype(dtype), axis_w)
 
     xmat = vmath.quat_to_mat(xquat)
     xipos = xpos + vmath.quat_rotate(xquat, m.body_ipos)
