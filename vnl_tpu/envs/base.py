@@ -103,10 +103,19 @@ class PipelineEnv(Env):
         return physics.forward(self._model, d)
 
     def pipeline_step(self, data: Data, ctrl: jax.Array) -> Data:
+        """Runs n_frames physics substeps.
+
+        The mass matrix depends only on qpos (drift ~dt·|qvel| between
+        substeps), so only the first substep factors it exactly; the rest
+        refine the carried inverses by Newton–Schulz (physics.inertia.crb),
+        cutting the dominant dense-linear-algebra cost of the substep."""
         data = data.replace(ctrl=ctrl)
+        data = physics.step(self._model, data)
 
         def substep(d, _):
-            return physics.step(self._model, d), ()
+            return physics.step(self._model, d, refine_inverse=True), ()
 
-        data, _ = jax.lax.scan(substep, data, (), length=self._n_frames)
+        if self._n_frames > 1:
+            data, _ = jax.lax.scan(substep, data, (),
+                                   length=self._n_frames - 1)
         return data

