@@ -58,7 +58,8 @@ def crb(m: Model, d: Data, refine_inverse: bool = False) -> Data:
     qM = Ml + Ml.T - jnp.diag(jnp.diag(Ml))
     qM = qM + jnp.diag(m.dof_armature.astype(dtype))
 
-    from vnl_tpu.ops.linalg import inv_spd, refine_inv
+    from vnl_tpu.ops.linalg import refine_inv
+    from vnl_tpu.ops.pallas_linalg import inv_spd_fused
     if _needs_implicit_damping(m):
         hB = m.opt.timestep * m.dof_damping.astype(dtype)
         MhB = qM + jnp.diag(hB)
@@ -71,12 +72,14 @@ def crb(m: Model, d: Data, refine_inverse: bool = False) -> Data:
             # Both factored exactly: h·diag(B) is NOT a small perturbation
             # of M here (implicit damping exists precisely because damping
             # dwarfs the small link inertias), so (M + h·B)⁻¹ cannot be
-            # refined from M⁻¹ — only from its own previous value.
-            qMinv = inv_spd(qM)
-            qMhBinv = inv_spd(MhB)
+            # refined from M⁻¹ — only from its own previous value.  The
+            # stacked call becomes ONE pallas sweep over 2B matrices under
+            # vmap on TPU (ops/pallas_linalg.py).
+            inv = inv_spd_fused(jnp.stack([qM, MhB]))
+            qMinv, qMhBinv = inv[0], inv[1]
     else:
         qMinv = (refine_inv(qM, d.qMinv) if refine_inverse
-                 else inv_spd(qM))
+                 else inv_spd_fused(qM))
         qMhBinv = qMinv
     return d.replace(qM=qM, qMinv=qMinv, qMhBinv=qMhBinv)
 
