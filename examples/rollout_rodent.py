@@ -6,7 +6,7 @@ RodentTracking, run a random-action rollout (sigma=0.3), record the
 termination_error trajectory as a smooth-divergence sanity check, and
 optionally render an overlay video.
 
-  python examples/rollout_rodent.py [--render]
+  python examples/rollout_rodent.py [--render] [--plot]
 """
 
 import sys
@@ -20,7 +20,7 @@ from vnl_tpu import envs
 from vnl_tpu.data.io import load_clip
 
 
-def main(render: bool = False):
+def main(render: bool = False, plot: bool = False):
     cfg = yaml.safe_load(open("configs/env_config.yaml"))["env"]
     clip = load_clip(cfg["clip_path"])
     env = envs.get_environment("rodent", reference_clip=clip,
@@ -47,6 +47,21 @@ def main(render: bool = False):
     print("termination_error curve (should diverge smoothly):")
     print(np.array2string(np.asarray(term_err[:20]), precision=3))
 
+    if plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots(figsize=(6, 3.5))
+        ax.plot(term_err)
+        ax.axhline(1.0, ls="--", lw=1, label="done threshold (rtrunk<0)")
+        ax.set_xlabel("step")
+        ax.set_ylabel("termination error")
+        ax.set_title("random-action rollout divergence (sigma=0.3)")
+        ax.legend()
+        fig.tight_layout()
+        fig.savefig("/tmp/rodent_termination_error.png", dpi=120)
+        print("wrote /tmp/rodent_termination_error.png")
+
     if render:
         from vnl_tpu.render import render_overlay_video
         ref = env._ref_traj
@@ -60,4 +75,4 @@ def main(render: bool = False):
 
 
 if __name__ == "__main__":
-    main(render="--render" in sys.argv)
+    main(render="--render" in sys.argv, plot="--plot" in sys.argv)

@@ -83,3 +83,49 @@ def test_clip_window_slice():
     assert w.position.shape == (5, 3)
     np.testing.assert_allclose(np.asarray(w.position),
                                np.asarray(c.position[10:15]), atol=0)
+
+
+def test_legacy_features_match_shipped_clip():
+    """com / end_effectors / appendages recomputed from the shipped clip's
+    own qpos must match the stored dm_control-derived values
+    (/root/reference/mocap_preprocess.py:169-209)."""
+    from vnl_tpu.data.pipeline import process_recording
+    c = load_clip(CLIP)
+    qpos = np.concatenate([np.asarray(c.position), np.asarray(c.quaternion),
+                           np.asarray(c.joints)], axis=1)
+    model = mjcf.load_model("/root/reference/assets/rodent.xml",
+                            rescale=(0.9, 0.9), torque_actuators=True)
+    lib = process_recording(model, qpos[:32], clip_length=32,
+                            legacy_features=True)
+    out = jax.tree_util.tree_map(
+        lambda x: None if x is None else x[0], lib.clips)
+    assert out.center_of_mass is not None
+    assert out.end_effectors.shape == (32, 4, 3)
+    assert out.appendages.shape == (32, 5, 3)
+    np.testing.assert_allclose(np.asarray(out.center_of_mass),
+                               np.asarray(c.center_of_mass)[:32], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out.end_effectors),
+                               np.asarray(c.end_effectors)[:32], atol=3e-3)
+    np.testing.assert_allclose(np.asarray(out.appendages),
+                               np.asarray(c.appendages)[:32], atol=3e-3)
+
+
+def test_z_offset_floor_alignment():
+    """adjust_z_offset shifts qpos z / com / body z by the feet heuristic
+    (mocap_preprocess.py:222-233) and leaves velocities unchanged."""
+    from vnl_tpu.data.pipeline import process_recording
+    c = load_clip(CLIP)
+    qpos = np.concatenate([np.asarray(c.position), np.asarray(c.quaternion),
+                           np.asarray(c.joints)], axis=1)[:16]
+    qpos[:, 2] += 0.05  # float the clip; alignment should pull it back down
+    model = mjcf.load_model("/root/reference/assets/rodent.xml",
+                            rescale=(0.9, 0.9), torque_actuators=True)
+    raw = process_recording(model, qpos, clip_length=16)
+    adj = process_recording(model, qpos, clip_length=16, adjust_z_offset=1.0)
+    z_shift = np.asarray(raw.clips.position[0, :, 2]
+                         - adj.clips.position[0, :, 2])
+    # feet were lifted ~0.05 above the floor: offset recovers roughly that
+    assert np.allclose(z_shift, z_shift[0], atol=1e-6)
+    assert 0.02 < z_shift[0] < 0.08
+    np.testing.assert_allclose(np.asarray(adj.clips.velocity),
+                               np.asarray(raw.clips.velocity), atol=1e-5)

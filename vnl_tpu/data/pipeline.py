@@ -49,19 +49,43 @@ class ClipCollection:
 
 def process_recording(model: Model, qpos_recording: np.ndarray,
                       clip_length: int = 250, max_qvel: float = 20.0,
-                      dt: float = 0.02) -> ClipLibrary:
+                      dt: float = 0.02, adjust_z_offset: float = 0.0,
+                      clip_to_joint_range: bool = True,
+                      legacy_features: bool = True) -> ClipLibrary:
     """Chunks a (T, nq) recording into clips and processes them batched.
 
     The FK feature scan runs vmapped over all clips at once (one XLA
-    program), producing a device-resident ClipLibrary.
+    program), producing a device-resident ClipLibrary.  Legacy-pipeline
+    parity (per-clip, /root/reference/mocap_preprocess.py):
+    - joint angles clipped to the model's joint ranges (:127-142);
+    - com / end-effector / appendage per-frame features (:169-209);
+    - z-offset floor alignment from the 10 lowest feet heights minus the
+      foot-geom thickness, applied to qpos z / com / body positions
+      (:222-233) when ``adjust_z_offset`` is truthy.
     """
     T = qpos_recording.shape[0]
     n_clips = T // clip_length
     q = jnp.asarray(qpos_recording[: n_clips * clip_length]).reshape(
         n_clips, clip_length, -1)
+    if clip_to_joint_range:
+        # hinge rows of jnt_range follow the free root (nq = 7 + njnt-1)
+        rng = np.asarray(model.jnt_range)[1:]
+        q = q.at[..., 7:].set(jnp.clip(q[..., 7:], rng[:, 0], rng[:, 1]))
+    feet_ids = [model.body_names.index(b) for b in ("foot_L", "foot_R")
+                if b in model.body_names]
 
     def one(qc):
-        clip = extract_features(model, qc)
+        clip = extract_features(model, qc, legacy_features=legacy_features)
+        if adjust_z_offset and feet_ids:
+            feet = clip.body_positions[:, jnp.asarray(feet_ids), 2]
+            lowest = -jax.lax.top_k(-feet.reshape(-1), 10)[0]
+            z_off = jnp.mean(lowest) - 0.006
+            clip = clip.replace(
+                position=clip.position.at[:, 2].add(-z_off),
+                body_positions=clip.body_positions.at[:, :, 2].add(-z_off))
+            if clip.center_of_mass is not None:
+                clip = clip.replace(
+                    center_of_mass=clip.center_of_mass.at[:, 2].add(-z_off))
         q_pad = jnp.concatenate([qc, qc[-1:]], axis=0)
         qvel = compute_velocity_from_kinematics(q_pad, dt)
         return clip.replace(

@@ -22,20 +22,52 @@ from vnl_tpu.data.reference_clip import ReferenceClip
 from vnl_tpu.physics.model import Model
 
 
-def extract_features(m: Model, mocap_qpos: jax.Array) -> ReferenceClip:
-    """FK over frames -> positions/quaternions pytree (velocities not set)."""
+# legacy-pipeline feature body sets (/root/reference/walker.py:183-190,152)
+END_EFFECTOR_BODIES = ("lower_arm_R", "lower_arm_L", "foot_R", "foot_L")
+HEAD_BODY = "skull"
+
+
+def extract_features(m: Model, mocap_qpos: jax.Array,
+                     legacy_features: bool = False,
+                     root_body: int = 1) -> ReferenceClip:
+    """FK over frames -> positions/quaternions pytree (velocities not set).
+
+    legacy_features: also compute the 13-field legacy features
+    (/root/reference/mocap_preprocess.py:169-209): subtree center of mass,
+    end-effector and appendage positions egocentric to the root body
+    (dm_control ``end_effectors_pos``/``appendages_pos`` semantics:
+    (xpos - xpos_root) @ xmat_root)."""
     d0 = physics.make_data(m, dtype=mocap_qpos.dtype)
+    dtype = mocap_qpos.dtype
+    legacy_features = legacy_features and all(
+        b in m.body_names for b in END_EFFECTOR_BODIES + (HEAD_BODY,))
+    if legacy_features:
+        bmap = {n: i for i, n in enumerate(m.body_names)}
+        app_ids = jnp.asarray([bmap[b] for b in END_EFFECTOR_BODIES]
+                              + [bmap[HEAD_BODY]])
+        mass = jnp.asarray(m.body_mass, dtype)
 
     def f(d, qpos):
         d = d.replace(qpos=qpos, qvel=jnp.zeros(m.nv, qpos.dtype))
         d = physics.kinematics(m, d)
-        return d, (qpos[:3], qpos[3:7], qpos[7:], d.xpos, d.xquat)
+        extras = ()
+        if legacy_features:
+            com = (mass @ d.xipos) / jnp.sum(mass)
+            rel = (d.xpos[app_ids] - d.xpos[root_body]) @ d.xmat[root_body]
+            extras = (com, rel)
+        return d, (qpos[:3], qpos[3:7], qpos[7:], d.xpos, d.xquat) + extras
 
-    _, (position, quaternion, joints, xpos, xquat) = jax.lax.scan(
-        f, d0, mocap_qpos)
-    return ReferenceClip(
+    _, outs = jax.lax.scan(f, d0, mocap_qpos)
+    position, quaternion, joints, xpos, xquat = outs[:5]
+    clip = ReferenceClip(
         position=position, quaternion=quaternion, joints=joints,
         body_positions=xpos, body_quaternions=xquat)
+    if legacy_features:
+        com, rel = outs[5:]
+        clip = clip.replace(center_of_mass=com,
+                            end_effectors=rel[:, :4],
+                            appendages=rel)
+    return clip
 
 
 def compute_velocity_from_kinematics(qpos_trajectory: jax.Array,

@@ -87,6 +87,26 @@ class RatWalker:
         bmap = {n: i for i, n in enumerate(self.model.body_names)}
         return np.array([bmap[n] for n in body_names])
 
+    @property
+    def joint_actuator_order(self) -> np.ndarray:
+        """Mocap-order index of each joint actuator's joint
+        (reference walker.py:315-325)."""
+        trnid = np.asarray(self.model.actuator_trnid).reshape(-1)
+        mocap = list(self.mocap_joint_order)
+        return np.array([mocap.index(self.model.joint_names[int(j)])
+                         for j in trnid])
+
+    def pose_to_actuation(self, pose):
+        """Maps a mocap-order pose to the zero-torque actuation point:
+        u = (2 q_ref - (lo + hi)) / (hi - lo) per actuated joint
+        (reference walker.py:295-312; joint-actuator models — the rodent
+        after torque conversion has no tendon actuators)."""
+        trnid = np.asarray(self.model.actuator_trnid).reshape(-1)
+        rng = np.asarray(self.model.jnt_range)[trnid]
+        order = self.joint_actuator_order
+        return ((2.0 * pose[..., order] - (rng[:, 0] + rng[:, 1]))
+                / (rng[:, 1] - rng[:, 0]))
+
     def env_config(self) -> Dict:
         """Generates the tracking-env name lists (env_config.yaml content)."""
         tracked = list(self.mocap_tracking_bodies)
