@@ -150,3 +150,62 @@ def test_vmap_batched_step(setup):
         batch = step(batch)
     assert batch.qpos.shape == (B, m.nq)
     assert bool(jnp.isfinite(batch.qpos).all())
+
+
+def test_rk4_matches_oracle():
+    """RK4 integrator (mj_RungeKutta tableau) vs the oracle on ant."""
+    mj = mujoco.MjModel.from_xml_path(f"{ASSETS}/ant.xml")
+    mj.opt.integrator = mujoco.mjtIntegrator.mjINT_RK4
+    mj.opt.iterations = 100
+    mj.opt.ls_iterations = 50
+    m = mjcf.load_model(f"{ASSETS}/ant.xml", dtype=jnp.float64,
+                        overrides={"integrator": "rk4", "iterations": 50,
+                                   "ls_iterations": 25})
+    rng = np.random.default_rng(5)
+    ctrl = rng.uniform(-0.2, 0.2, size=mj.nu)
+    d_mj = mujoco.MjData(mj)
+    d_mj.ctrl[:] = ctrl
+    d = physics.make_data(m, dtype=jnp.float64).replace(ctrl=jnp.asarray(ctrl))
+    d = jax.jit(lambda x: physics.forward(m, x))(d)
+    step = jax.jit(lambda x: physics.step(m, x))
+    for _ in range(50):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    err = np.abs(np.asarray(d.qpos) - d_mj.qpos).max()
+    assert err < 0.05, err
+    assert not np.isnan(np.asarray(d.qpos)).any()
+
+    # RK4 at dt must be closer to a fine-Euler reference than Euler at dt
+    # (order-of-accuracy sanity, contact-free pendulum swing)
+    pend = """<mujoco><option timestep=\"0.01\" integrator=\"RK4\"/>
+      <worldbody><body pos=\"0 0 1\">
+        <joint name=\"hinge\" type=\"hinge\" axis=\"0 1 0\"/>
+        <geom type=\"capsule\" fromto=\"0 0 0 0.5 0 0\" size=\"0.02\"
+              density=\"1000\"/>
+      </body></worldbody></mujoco>"""
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(pend)
+        path = f.name
+    m_rk = mjcf.load_model(path, dtype=jnp.float64)
+    m_eu = mjcf.load_model(path, dtype=jnp.float64,
+                           overrides={"integrator": "euler"})
+    m_fine = mjcf.load_model(path, dtype=jnp.float64,
+                             overrides={"integrator": "euler",
+                                        "timestep": 0.0001})
+
+    def run(mm, n):
+        dd = physics.make_data(mm, dtype=jnp.float64)
+        dd = dd.replace(qpos=dd.qpos.at[0].set(1.0))
+        st = jax.jit(lambda x: physics.step(mm, x))
+        for _ in range(n):
+            dd = st(dd)
+        return float(dd.qpos[0])
+
+    q_fine = run(m_fine, 5000)
+    q_rk = run(m_rk, 50)
+    q_eu = run(m_eu, 50)
+    assert abs(q_rk - q_fine) < abs(q_eu - q_fine)
+    # the fine-Euler reference itself carries O(dt)=1e-4 error; RK4 at the
+    # coarse dt matches the mujoco RK4 oracle to machine precision
+    assert abs(q_rk - q_fine) < 2e-4

@@ -30,11 +30,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vnl_tpu.physics.model import Data, DisableBit, JointType, Model
+from vnl_tpu.physics.model import Data, DisableBit, JointType, Model, SolverType
 
 
 class EfcSystem(NamedTuple):
-    """Factored constraint system (static shapes; ncon = m.ncon_max)."""
+    """Factored constraint system (static shapes; ncon = m.ncon_max).
+
+    The contact Jacobian exists in two equivalent forms:
+    - dense ``con_Jc`` (ncon, 3, nv) — built when ``materialize_jc``;
+    - fully factored: per-side moment arms ``con_G1/2`` (ncon, 3, 6) plus
+      STATIC chain masks ``con_chain1/2`` (ncon, nv numpy), with
+      Jc = (chain2 ⊙ G2 − chain1 ⊙ G1) · cdof.  The factored form is what
+      the fused TPU solver kernel consumes (ops/pallas_cg.py) — it turns
+      J-products into static-mask matmuls and skips the (ncon, 3, nv)
+      HBM intermediate entirely.
+    """
 
     # joint limits
     lim_dof: np.ndarray      # (nlimit,) static dof indices
@@ -44,7 +54,12 @@ class EfcSystem(NamedTuple):
     lim_D: jax.Array         # (nlimit,)
     lim_pos: jax.Array       # (nlimit,)
     # contacts (pyramidal condim 1/3)
-    con_Jc: jax.Array        # (ncon, 3, nv) rows: normal, tan1, tan2
+    con_Jc: jax.Array        # (ncon, 3, nv) rows: normal, tan1, tan2 (or None)
+    con_G1: jax.Array        # (ncon, 3, 6) side-1 [r x frame | frame] rows
+    con_G2: jax.Array        # (ncon, 3, 6) side-2
+    con_chain1: np.ndarray   # (ncon, nv) static 0/1 chain mask, side 1
+    con_chain2: np.ndarray   # (ncon, nv) static
+    con_cdof: jax.Array      # (nv, 6) cdof snapshot the factored form uses
     con_mu: jax.Array        # (ncon, 2) mu1, mu2
     con_aref: jax.Array      # (ncon, 4) per-facet reference acceleration
     con_D: jax.Array         # (ncon, 4) per-facet 1/R (0-masked rows)
@@ -56,13 +71,23 @@ class EfcSystem(NamedTuple):
     def nefc(self) -> int:
         return self.nlimit + 4 * self.ncon
 
+    def _base(self, x: jax.Array) -> jax.Array:
+        """Contact-frame products (ncon, 3) = Jc @ x in either form."""
+        if self.con_Jc is not None:
+            return jnp.einsum("cfv,v->cf", self.con_Jc, x)
+        cx = self.con_cdof * x[:, None]                 # (nv, 6)
+        s2 = jnp.asarray(self.con_chain2, x.dtype) @ cx  # (ncon, 6)
+        s1 = jnp.asarray(self.con_chain1, x.dtype) @ cx
+        return (jnp.einsum("cfk,ck->cf", self.con_G2, s2)
+                - jnp.einsum("cfk,ck->cf", self.con_G1, s1))
+
     # ---- factored J products ----
     def jx(self, x: jax.Array):
         """Returns (lim_jx (nlimit,), con_fx (ncon, 4)) = J @ x by block."""
         lim = self.lim_sign * x[jnp.asarray(self.lim_dof)] \
             if self.nlimit else jnp.zeros(0, x.dtype)
         if self.ncon:
-            base = jnp.einsum("cfv,v->cf", self.con_Jc, x)  # (ncon, 3)
+            base = self._base(x)
             n, t1, t2 = base[:, 0], base[:, 1], base[:, 2]
             mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
             fx = jnp.stack([n + mu1 * t1, n - mu1 * t1,
@@ -73,7 +98,7 @@ class EfcSystem(NamedTuple):
 
     def jt_f(self, lim_f: jax.Array, con_f: jax.Array) -> jax.Array:
         """J^T @ f from per-block forces."""
-        nv = self.con_Jc.shape[-1] if self.ncon else self.lim_onehot.shape[-1]
+        nv = self.lim_onehot.shape[-1] if self.nlimit else self.con_cdof.shape[0]
         out = jnp.zeros(nv, lim_f.dtype if self.nlimit else con_f.dtype)
         if self.nlimit:
             out = out + self.lim_onehot.T @ (self.lim_sign * lim_f)
@@ -83,7 +108,14 @@ class EfcSystem(NamedTuple):
             ft1 = mu1 * (con_f[:, 0] - con_f[:, 1])
             ft2 = mu2 * (con_f[:, 2] - con_f[:, 3])
             fvec = jnp.stack([fn, ft1, ft2], axis=-1)      # (ncon, 3)
-            out = out + jnp.einsum("cfv,cf->v", self.con_Jc, fvec)
+            if self.con_Jc is not None:
+                out = out + jnp.einsum("cfv,cf->v", self.con_Jc, fvec)
+            else:
+                t2 = jnp.einsum("cfk,cf->ck", self.con_G2, fvec)
+                t1 = jnp.einsum("cfk,cf->ck", self.con_G1, fvec)
+                u = (jnp.asarray(self.con_chain2, fvec.dtype).T @ t2
+                     - jnp.asarray(self.con_chain1, fvec.dtype).T @ t1)
+                out = out + jnp.einsum("vk,vk->v", self.con_cdof, u)
         return out
 
 
@@ -116,9 +148,18 @@ def _kb(solref, solimp):
 
 
 def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
-                     con_pair: np.ndarray) -> EfcSystem:
+                     con_pair: np.ndarray,
+                     materialize_jc: bool = None) -> EfcSystem:
+    """materialize_jc: build the dense (ncon, 3, nv) con_Jc.  Default: only
+    when the Newton solver needs it for its Hessian, or when the fused CG
+    kernel is unavailable (the XLA CG path is then marginally faster dense).
+    """
     dtype = d.qpos.dtype
     nv = m.nv
+    if materialize_jc is None:
+        from vnl_tpu.ops import pallas_cg
+        materialize_jc = (m.opt.solver == int(SolverType.NEWTON)
+                          or not pallas_cg.enabled())
 
     disable_limit = bool(m.opt.disableflags & DisableBit.LIMIT)
     disable_contact = bool(m.opt.disableflags & DisableBit.CONTACT)
@@ -172,16 +213,24 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
         org1 = d.subtree_com[jnp.asarray(root[b1])]
         org2 = d.subtree_com[jnp.asarray(root[b2])]
 
-        def side_jac(org, body_ids):
-            # rows of G: [frame | r x frame]; Jc_side = G @ cdof6^T, masked
+        def side_G(org):
+            # rows of G: [r x frame | frame]; Jc_side = (G @ cdof^T) ⊙ chain
             r = con_pos - org                         # (ncon, 3)
             F = con_frame                             # (ncon, 3, 3)
             rxF = jnp.cross(jnp.broadcast_to(r[:, None, :], F.shape), F)
-            G = jnp.concatenate([rxF, F], axis=-1)    # (ncon, 3, 6): [ang|lin]
-            Jc = jnp.einsum("cfk,vk->cfv", G, d.cdof)
-            return Jc * bd_mask[jnp.asarray(body_ids)][:, None, :]
+            return jnp.concatenate([rxF, F], axis=-1)  # (ncon, 3, 6): [ang|lin]
 
-        con_Jc = side_jac(org2, b2) - side_jac(org1, b1)
+        con_G1 = side_G(org1)
+        con_G2 = side_G(org2)
+        chain1 = np.asarray(m.body_chain_dof_mask)[b1].astype(np.float32)
+        chain2 = np.asarray(m.body_chain_dof_mask)[b2].astype(np.float32)
+        if materialize_jc:
+            con_Jc = (jnp.einsum("cfk,vk->cfv", con_G2, d.cdof)
+                      * bd_mask[jnp.asarray(b2)][:, None, :]
+                      - jnp.einsum("cfk,vk->cfv", con_G1, d.cdof)
+                      * bd_mask[jnp.asarray(b1)][:, None, :])
+        else:
+            con_Jc = None
 
         pair = jnp.asarray(con_pair)
         margin = m.pair_margin[pair]
@@ -199,7 +248,14 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
         pyramid = jnp.asarray(condim >= 3, dtype)
 
         # facet velocities and aref
-        base_vel = jnp.einsum("cfv,v->cf", con_Jc, d.qvel)
+        if con_Jc is not None:
+            base_vel = jnp.einsum("cfv,v->cf", con_Jc, d.qvel)
+        else:
+            cx = d.cdof * d.qvel[:, None]              # (nv, 6)
+            base_vel = (jnp.einsum("cfk,ck->cf", con_G2,
+                                   jnp.asarray(chain2, dtype) @ cx)
+                        - jnp.einsum("cfk,ck->cf", con_G1,
+                                     jnp.asarray(chain1, dtype) @ cx))
         nvl, t1v, t2v = base_vel[:, 0], base_vel[:, 1], base_vel[:, 2]
         fvel = jnp.stack([nvl + mu1 * t1v, nvl - mu1 * t1v,
                           nvl + mu2 * t2v, nvl - mu2 * t2v], axis=-1)
@@ -220,10 +276,17 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
             [jnp.ones((ncon, 1), dtype),
              jnp.broadcast_to(pyramid[:, None], (ncon, 3))], axis=-1)
         con_D = con_D * facet_on
-        con = dict(con_Jc=con_Jc, con_mu=con_mu, con_aref=con_aref * facet_on,
+        con = dict(con_Jc=con_Jc, con_G1=con_G1, con_G2=con_G2,
+                   con_chain1=chain1, con_chain2=chain2, con_cdof=d.cdof,
+                   con_mu=con_mu, con_aref=con_aref * facet_on,
                    con_D=con_D, con_pos=pos)
     else:
         con = dict(con_Jc=jnp.zeros((0, 3, nv), dtype),
+                   con_G1=jnp.zeros((0, 3, 6), dtype),
+                   con_G2=jnp.zeros((0, 3, 6), dtype),
+                   con_chain1=np.zeros((0, nv), np.float32),
+                   con_chain2=np.zeros((0, nv), np.float32),
+                   con_cdof=d.cdof,
                    con_mu=jnp.zeros((0, 2), dtype),
                    con_aref=jnp.zeros((0, 4), dtype),
                    con_D=jnp.zeros((0, 4), dtype),

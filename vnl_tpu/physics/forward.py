@@ -73,6 +73,17 @@ def fwd_velocity(m: Model, d: Data):
                      qfrc_passive=qfrc_passive)
 
 
+def _matmul_precision() -> str:
+    """TPU matmul precision for physics (env VNL_TPU_PHYSICS_PRECISION).
+
+    XLA's DEFAULT on TPU is single-pass bf16 multiplies; measured ~1%
+    relative noise on constrained accelerations (tools/debug_fused_cg.py),
+    far from the CUDA-f32 reference numerics.  Physics is bandwidth-bound
+    (<1% MXU util), so full-f32 passes cost almost nothing — pin f32."""
+    import os
+    return os.environ.get("VNL_TPU_PHYSICS_PRECISION", "float32")
+
+
 def forward(m: Model, d: Data, compute_sensors: bool = False,
             refine_inverse: bool = False) -> Data:
     """Full forward dynamics: populates derived fields and qacc.
@@ -83,24 +94,26 @@ def forward(m: Model, d: Data, compute_sensors: bool = False,
     refine_inverse: reuse+polish the carried mass-matrix inverses instead
     of refactoring (valid when d is the previous substep's output; see
     inertia.crb)."""
-    d, efc = fwd_position(m, d, refine_inverse=refine_inverse)
-    d = fwd_velocity(m, d)
-    force, qfrc_act, act_dot = _actuation.actuation(m, d)
-    d = d.replace(actuator_force=force, qfrc_actuator=qfrc_act,
-                  act_dot=act_dot)
-    qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
-    qacc_smooth = _inertia.solve_m(d, qfrc_smooth)
-    qacc, qfrc_constraint, con_force = _solver.solve(m, d, efc, qacc_smooth)
-    ncon = m.ncon_max
-    contact_force = (con_force if efc.ncon else
-                     jnp.zeros((ncon, 4), d.qpos.dtype))
-    d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
-                  qacc=qacc, qfrc_constraint=qfrc_constraint,
-                  contact_force=contact_force)
-    if compute_sensors and m.nsensordata:
-        from vnl_tpu.physics import sensor as _sensor
-        d = d.replace(sensordata=_sensor.sensors(m, d))
-    return d
+    with jax.default_matmul_precision(_matmul_precision()):
+        d, efc = fwd_position(m, d, refine_inverse=refine_inverse)
+        d = fwd_velocity(m, d)
+        force, qfrc_act, act_dot = _actuation.actuation(m, d)
+        d = d.replace(actuator_force=force, qfrc_actuator=qfrc_act,
+                      act_dot=act_dot)
+        qfrc_smooth = d.qfrc_passive - d.qfrc_bias + d.qfrc_actuator
+        qacc_smooth = _inertia.solve_m(d, qfrc_smooth)
+        qacc, qfrc_constraint, con_force = _solver.solve(m, d, efc,
+                                                         qacc_smooth)
+        ncon = m.ncon_max
+        contact_force = (con_force if efc.ncon else
+                         jnp.zeros((ncon, 4), d.qpos.dtype))
+        d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,
+                      qacc=qacc, qfrc_constraint=qfrc_constraint,
+                      contact_force=contact_force)
+        if compute_sensors and m.nsensordata:
+            from vnl_tpu.physics import sensor as _sensor
+            d = d.replace(sensordata=_sensor.sensors(m, d))
+        return d
 
 
 def _integrate_pos(m: Model, qpos: jax.Array, qvel: jax.Array, dt) -> jax.Array:
@@ -138,7 +151,8 @@ def integrate(m: Model, d: Data) -> Data:
     # stacked Newton–Schulz inverse, so implicit damping is a single matmul.
     if _inertia._needs_implicit_damping(m):
         # qvel += dt * (M + dt*diag(B))^-1 M qacc
-        dv = d.qMhBinv @ (d.qM @ qacc)
+        with jax.default_matmul_precision(_matmul_precision()):
+            dv = d.qMhBinv @ (d.qM @ qacc)
         qvel = d.qvel + dt * dv
     else:
         qvel = d.qvel + dt * qacc
@@ -148,7 +162,49 @@ def integrate(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, act=act)
 
 
+_RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
+_RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
+
+
+def _rk4(m: Model, d: Data) -> Data:
+    """Classic 4th-order Runge–Kutta step (mj_RungeKutta semantics).
+
+    d arrives with stage-0 forward dynamics already computed; each further
+    stage evaluates full forward dynamics at the tableau-shifted state.
+    The state derivative is (qvel, qacc, act_dot); qpos advances through
+    quaternion integration of the combined velocity (no implicit damping —
+    that is an Euler-integrator device)."""
+    h = m.opt.timestep
+    qpos0, qvel0, act0 = d.qpos, d.qvel, d.act
+    F = [(d.qvel, d.qacc, d.act_dot)]
+
+    def comb(coeffs, idx):
+        terms = [(c, F[j]) for c, j in zip(coeffs, idx) if c != 0.0]
+        dqvel = sum(c * f[0] for c, f in terms)
+        dqacc = sum(c * f[1] for c, f in terms)
+        dact = sum(c * f[2] for c, f in terms) if m.na else d.act_dot
+        return dqvel, dqacc, dact
+
+    for i in range(3):
+        dqvel, dqacc, dact = comb(_RK4_A[i], range(i + 1))
+        d = d.replace(
+            qpos=_integrate_pos(m, qpos0, dqvel, h),
+            qvel=qvel0 + h * dqacc,
+            act=act0 + h * dact if m.na else act0)
+        d = forward(m, d)
+        F.append((d.qvel, d.qacc, d.act_dot))
+
+    dqvel, dqacc, dact = comb(_RK4_B, range(4))
+    return d.replace(
+        qpos=_integrate_pos(m, qpos0, dqvel, h),
+        qvel=qvel0 + h * dqacc,
+        act=act0 + h * dact if m.na else act0)
+
+
 def step(m: Model, d: Data, refine_inverse: bool = False) -> Data:
-    """One physics step: forward dynamics + Euler integration."""
+    """One physics step: forward dynamics + integration (Euler with
+    implicit joint damping, or RK4 when the model opts in)."""
     d = forward(m, d, refine_inverse=refine_inverse)
+    if m.opt.integrator == int(IntegratorType.RK4):
+        return _rk4(m, d)
     return integrate(m, d)

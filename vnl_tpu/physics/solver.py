@@ -68,7 +68,7 @@ def _forces(efc: EfcSystem, lim_jx, con_fx):
     return lim_jar, con_jar, lim_f, con_f
 
 
-def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
+def _line_search(ls_iters: int, efc: EfcSystem, p, Mx_minus_a, Mp,
                  lim_jar, con_jar, lim_jp, con_jp):
     """Exact line search on the piecewise-quadratic cost along p
     (fori_loop body: active-set refinement at fixed trip count).
@@ -77,7 +77,7 @@ def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
     (ops/pallas_solver.py) instead of ~10 HLO ops per refinement."""
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
-    n_iter = max(m.opt.ls_iterations, 1)
+    n_iter = max(ls_iters, 1)
 
     if _use_pallas():
         from vnl_tpu.ops.pallas_solver import fused_line_search
@@ -100,6 +100,107 @@ def _line_search(m: Model, efc: EfcSystem, p, Mx_minus_a, Mp,
     return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), p.dtype))
 
 
+def _cg_loop(qM, qMinv, efc: EfcSystem, qacc_smooth, n_iter: int,
+             ls_iters: int, unroll: int = 1):
+    """Preconditioned Polak–Ribière CG on the primal problem.
+
+    Shared by the XLA path and the fused-kernel reference/fallback; the
+    Pallas kernel (ops/pallas_cg.py) mirrors these semantics exactly."""
+
+    def grad_at(x, lim_jx, con_fx):
+        _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
+        return qM @ (x - qacc_smooth) - efc.jt_f(lim_f, con_f)
+
+    x = qacc_smooth
+    lim_jx, con_fx = efc.jx(x)
+    g = grad_at(x, lim_jx, con_fx)
+    Mg = qMinv @ g
+    p = -Mg
+    g_dot_Mg = jnp.dot(g, Mg)
+
+    def cg_iter(carry, _):
+        x, lim_jx, con_fx, g, Mg, g_dot_Mg, p = carry
+        lim_jp, con_jp = efc.jx(p)
+        Mp = qM @ p
+        Mx_a = qM @ (x - qacc_smooth)
+        alpha = _line_search(ls_iters, efc, p, Mx_a, Mp,
+                             lim_jx - efc.lim_aref,
+                             con_fx - efc.con_aref, lim_jp, con_jp)
+        x = x + alpha * p
+        lim_jx = lim_jx + alpha * lim_jp
+        con_fx = con_fx + alpha * con_jp
+        g_new = grad_at(x, lim_jx, con_fx)
+        Mg_new = qMinv @ g_new
+        num = jnp.dot(g_new, Mg_new) - jnp.dot(g, Mg_new)
+        beta = jnp.maximum(0.0, num / jnp.maximum(g_dot_Mg, 1e-12))
+        p = -Mg_new + beta * p
+        return (x, lim_jx, con_fx, g_new, Mg_new,
+                jnp.dot(g_new, Mg_new), p), ()
+
+    (x, lim_jx, con_fx, *_), _ = jax.lax.scan(
+        cg_iter, (x, lim_jx, con_fx, g, Mg, g_dot_Mg, p), (),
+        length=n_iter, unroll=min(unroll, n_iter))
+    return x, lim_jx, con_fx
+
+
+_CG_REF_CACHE: dict = {}
+
+
+def _make_cg_reference(nv, ncon, nlimit, n_iter, ls_iters, lim_dof,
+                       chain1, chain2):
+    """Per-env flat-signature CG solve (the fused kernel's ground truth)."""
+    key = (nv, ncon, nlimit, n_iter, ls_iters, lim_dof.tobytes(),
+           chain1.tobytes(), chain2.tobytes())
+    hit = _CG_REF_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import numpy as np
+    onehot = np.zeros((nlimit, nv), np.float32)
+    onehot[np.arange(nlimit), lim_dof] = 1.0
+
+    def ref(qM, qMinv, x0, cdof, g36, lim_sign, lim_aref, lim_D,
+            con_mu, con_aref, con_D):
+        dtype = x0.dtype
+        G2 = g36[:18].reshape(3, 6, ncon).transpose(2, 0, 1)
+        G1 = g36[18:].reshape(3, 6, ncon).transpose(2, 0, 1)
+        efc = EfcSystem(
+            lim_dof=lim_dof, lim_onehot=jnp.asarray(onehot, dtype),
+            lim_sign=lim_sign, lim_aref=lim_aref, lim_D=lim_D,
+            lim_pos=jnp.zeros(nlimit, dtype),
+            con_Jc=None, con_G1=G1, con_G2=G2,
+            con_chain1=chain1, con_chain2=chain2, con_cdof=cdof,
+            con_mu=con_mu, con_aref=con_aref, con_D=con_D,
+            con_pos=jnp.zeros(ncon, dtype), nlimit=nlimit, ncon=ncon)
+        x, lim_jx, con_fx = _cg_loop(qM, qMinv, efc, x0, n_iter, ls_iters)
+        _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
+        return x, efc.jt_f(lim_f, con_f), con_f
+
+    _CG_REF_CACHE[key] = ref
+    return ref
+
+
+def _solve_cg_fused(m: Model, d: Data, efc: EfcSystem, qacc_smooth,
+                    n_iter: int):
+    """Dispatch the whole CG solve to the one-launch Pallas kernel."""
+    import numpy as np
+    from vnl_tpu.ops.pallas_cg import make_cg_fused
+    ls_iters = max(m.opt.ls_iterations, 1)
+    lim_dof = np.asarray(efc.lim_dof)
+    ref_fn = _make_cg_reference(m.nv, efc.ncon, efc.nlimit, n_iter,
+                                ls_iters, lim_dof, efc.con_chain1,
+                                efc.con_chain2)
+    interpret = jax.default_backend() != "tpu"
+    fused = make_cg_fused(m.nv, efc.ncon, efc.nlimit, n_iter, ls_iters,
+                          lim_dof, efc.con_chain1, efc.con_chain2,
+                          ref_fn, interpret=interpret)
+    g36 = jnp.concatenate([
+        efc.con_G2.transpose(1, 2, 0).reshape(18, efc.ncon),
+        efc.con_G1.transpose(1, 2, 0).reshape(18, efc.ncon)], axis=0)
+    return fused(d.qM, d.qMinv, qacc_smooth, efc.con_cdof, g36,
+                 efc.lim_sign, efc.lim_aref, efc.lim_D, efc.con_mu,
+                 efc.con_aref, efc.con_D)
+
+
 def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
           ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Runs the configured solver.
@@ -109,6 +210,11 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
     if efc.nefc == 0:
         return qacc_smooth, jnp.zeros(m.nv, dtype), jnp.zeros((0, 4), dtype)
 
+    n_iter = max(m.opt.iterations, 1)
+    if (m.opt.solver != int(SolverType.NEWTON) and efc.con_Jc is None
+            and efc.ncon > 0 and efc.nlimit > 0):
+        return _solve_cg_fused(m, d, efc, qacc_smooth, n_iter)
+
     def grad_at(x, lim_jx, con_fx):
         _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
         g = d.qM @ (x - qacc_smooth) - efc.jt_f(lim_f, con_f)
@@ -117,7 +223,6 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
     x = qacc_smooth
     lim_jx, con_fx = efc.jx(x)
 
-    n_iter = max(m.opt.iterations, 1)
     if m.opt.solver == int(SolverType.NEWTON):
         from vnl_tpu.ops.linalg import inv_spd
 
@@ -147,8 +252,8 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
             lim_jp, con_jp = efc.jx(p)
             Mp = d.qM @ p
             Mx_a = d.qM @ (x - qacc_smooth)
-            alpha = _line_search(m, efc, p, Mx_a, Mp, lim_jar, con_jar,
-                                 lim_jp, con_jp)
+            alpha = _line_search(m.opt.ls_iterations, efc, p, Mx_a, Mp,
+                                 lim_jar, con_jar, lim_jp, con_jp)
             return (x + alpha * p, lim_jx + alpha * lim_jp,
                     con_fx + alpha * con_jp), ()
 
@@ -156,33 +261,9 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
             newton_iter, (x, lim_jx, con_fx), (), length=n_iter,
             unroll=min(_scan_unroll(), n_iter))
     else:  # CG (PGS falls back to CG)
-        g = grad_at(x, lim_jx, con_fx)
-        Mg = d.qMinv @ g
-        p = -Mg
-        g_dot_Mg = jnp.dot(g, Mg)
-
-        def cg_iter(carry, _):
-            x, lim_jx, con_fx, g, Mg, g_dot_Mg, p = carry
-            lim_jp, con_jp = efc.jx(p)
-            Mp = d.qM @ p
-            Mx_a = d.qM @ (x - qacc_smooth)
-            alpha = _line_search(m, efc, p, Mx_a, Mp,
-                                 lim_jx - efc.lim_aref,
-                                 con_fx - efc.con_aref, lim_jp, con_jp)
-            x = x + alpha * p
-            lim_jx = lim_jx + alpha * lim_jp
-            con_fx = con_fx + alpha * con_jp
-            g_new = grad_at(x, lim_jx, con_fx)
-            Mg_new = d.qMinv @ g_new
-            num = jnp.dot(g_new, Mg_new) - jnp.dot(g, Mg_new)
-            beta = jnp.maximum(0.0, num / jnp.maximum(g_dot_Mg, 1e-12))
-            p = -Mg_new + beta * p
-            return (x, lim_jx, con_fx, g_new, Mg_new,
-                    jnp.dot(g_new, Mg_new), p), ()
-
-        (x, lim_jx, con_fx, *_), _ = jax.lax.scan(
-            cg_iter, (x, lim_jx, con_fx, g, Mg, g_dot_Mg, p), (),
-            length=n_iter, unroll=min(_scan_unroll(), n_iter))
+        x, lim_jx, con_fx = _cg_loop(d.qM, d.qMinv, efc, qacc_smooth,
+                                     n_iter, m.opt.ls_iterations,
+                                     unroll=_scan_unroll())
 
     _, _, lim_f, con_f = _forces(efc, lim_jx, con_fx)
     qfrc_constraint = efc.jt_f(lim_f, con_f)
