@@ -25,6 +25,7 @@ from vnl_tpu import models as models_lib
 from vnl_tpu.data.io import load_clip
 from vnl_tpu.training import acting, gradients
 from vnl_tpu.training import losses as ppo_losses
+from vnl_tpu.training.losses import PPONetworkParams
 from vnl_tpu.training import running_statistics
 import optax
 
@@ -50,7 +51,7 @@ make_policy = models_lib.make_inference_fn(network)
 
 norm_params = running_statistics.init_state(env_state.obs.shape[-1])
 pk, vk = jax.random.split(jax.random.PRNGKey(1))
-params = models_lib.PPONetworkParams(
+params = PPONetworkParams(
     policy=network.policy_network.init(pk),
     value=network.value_network.init(vk))
 optimizer = optax.adam(6e-4)

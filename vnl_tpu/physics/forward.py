@@ -53,10 +53,46 @@ def make_data(m: Model, qpos: Optional[jax.Array] = None,
     )
 
 
+_POS_REF_CACHE: dict = {}
+
+
+def _position_reference(m: Model):
+    """Per-env XLA position stage with the fused kernel's flat signature
+    (also its test oracle and small-batch/CPU fallback)."""
+    hit = _POS_REF_CACHE.get(id(m))
+    if hit is not None:
+        return hit
+
+    def ref(qpos):
+        d = make_data(m, qpos=qpos, dtype=qpos.dtype)
+        d = _kinematics.kinematics(m, d)
+        d = _kinematics.com_pos(m, d)
+        qM = _inertia.assemble_qM(m, d)
+        return (d.xpos, d.xquat, d.xmat, d.xipos, d.xanchor, d.xaxis,
+                d.geom_xpos, d.geom_xmat, d.subtree_com, d.cinert,
+                d.cdof, qM)
+
+    _POS_REF_CACHE[id(m)] = (m, ref)  # hold m: id() must stay unique
+    return _POS_REF_CACHE[id(m)]
+
+
 def fwd_position(m: Model, d: Data, refine_inverse: bool = False):
-    d = _kinematics.kinematics(m, d)
-    d = _kinematics.com_pos(m, d)
-    d = _inertia.crb(m, d, refine_inverse=refine_inverse)
+    from vnl_tpu.ops import pallas_position
+    if pallas_position.enabled() and d.qpos.dtype == jnp.float32:
+        fused = pallas_position.make_position_fused(
+            m, _position_reference(m)[1],
+            interpret=jax.default_backend() != "tpu")
+        (xpos, xquat, xmat, xipos, xanchor, xaxis, gxp, gxm, scom,
+         cinert, cdof, qM) = fused(d.qpos)
+        d = d.replace(xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,
+                      xanchor=xanchor, xaxis=xaxis, geom_xpos=gxp,
+                      geom_xmat=gxm, subtree_com=scom, cinert=cinert,
+                      cdof=cdof, qM=qM)
+        d = _inertia.invert_mass_matrix(m, d, refine_inverse)
+    else:
+        d = _kinematics.kinematics(m, d)
+        d = _kinematics.com_pos(m, d)
+        d = _inertia.crb(m, d, refine_inverse=refine_inverse)
     con_dist, con_pos, con_frame, con_pair = _collision.collide(m, d)
     d = d.replace(contact_dist=con_dist, contact_pos=con_pos,
                   contact_frame=con_frame)

@@ -25,6 +25,24 @@ def _needs_implicit_damping(m: Model) -> bool:
     return damped and not (m.opt.disableflags & DisableBit.EULERDAMP)
 
 
+def assemble_qM(m: Model, d: Data) -> jax.Array:
+    """Dense joint-space mass matrix from cinert/cdof (mj_crb)."""
+    dtype = d.qpos.dtype
+    # composite inertia: subtree sum as one mask matmul
+    sub_mask = jnp.asarray(m.body_subtree_mask, dtype)
+    crb_inert = (sub_mask @ d.cinert.reshape(m.nbody, 36)).reshape(
+        m.nbody, 6, 6)
+
+    # F[i] = crb[body(i)] @ cdof[i]
+    crb_dof = crb_inert[jnp.asarray(m.dof_bodyid)]        # (nv, 6, 6)
+    F = jnp.einsum("vij,vj->vi", crb_dof, d.cdof)          # (nv, 6)
+    M_full = F @ d.cdof.T                                  # (nv, nv)
+    mask = jnp.asarray(m.dof_ancestor_mask, dtype=dtype)   # lower tree-triangle
+    Ml = M_full * mask
+    qM = Ml + Ml.T - jnp.diag(jnp.diag(Ml))
+    return qM + jnp.diag(m.dof_armature.astype(dtype))
+
+
 def crb(m: Model, d: Data, refine_inverse: bool = False) -> Data:
     """Computes the dense joint-space mass matrix qM and its inverses.
 
@@ -43,21 +61,15 @@ def crb(m: Model, d: Data, refine_inverse: bool = False) -> Data:
     Newton–Schulz iterations (quadratic: residual r0 -> r0^4, measured at
     the fp32 floor) at a fraction of the Schur cost.
     """
+    return invert_mass_matrix(m, d.replace(qM=assemble_qM(m, d)),
+                              refine_inverse)
+
+
+def invert_mass_matrix(m: Model, d: Data,
+                       refine_inverse: bool = False) -> Data:
+    """Fills qMinv / qMhBinv from d.qM (see crb docstring)."""
     dtype = d.qpos.dtype
-    # composite inertia: subtree sum as one mask matmul
-    sub_mask = jnp.asarray(m.body_subtree_mask, dtype)
-    crb_inert = (sub_mask @ d.cinert.reshape(m.nbody, 36)).reshape(
-        m.nbody, 6, 6)
-
-    # F[i] = crb[body(i)] @ cdof[i]
-    crb_dof = crb_inert[jnp.asarray(m.dof_bodyid)]        # (nv, 6, 6)
-    F = jnp.einsum("vij,vj->vi", crb_dof, d.cdof)          # (nv, 6)
-    M_full = F @ d.cdof.T                                  # (nv, nv)
-    mask = jnp.asarray(m.dof_ancestor_mask, dtype=dtype)   # lower tree-triangle
-    Ml = M_full * mask
-    qM = Ml + Ml.T - jnp.diag(jnp.diag(Ml))
-    qM = qM + jnp.diag(m.dof_armature.astype(dtype))
-
+    qM = d.qM
     from vnl_tpu.ops.linalg import refine_inv
     from vnl_tpu.ops.pallas_linalg import inv_spd_fused
     if _needs_implicit_damping(m):
