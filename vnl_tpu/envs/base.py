@@ -106,14 +106,18 @@ class PipelineEnv(Env):
         """Runs n_frames physics substeps.
 
         The mass matrix depends only on qpos (drift ~dt·|qvel| between
-        substeps), so only the first substep factors it exactly; the rest
-        refine the carried inverses by Newton–Schulz (physics.inertia.crb),
-        cutting the dominant dense-linear-algebra cost of the substep."""
+        substeps), so later substeps MAY refine the carried inverses by
+        Newton–Schulz instead of refactoring (physics.inertia.crb).  With
+        the fused position megakernel the exact stacked Schur sweep is
+        cheaper than the refine matmuls (tools/ablate_step.py r2: 3.57 vs
+        3.93 ms/substep), so refine is only used on the XLA path."""
+        from vnl_tpu.ops import pallas_position
+        refine = not pallas_position.enabled()
         data = data.replace(ctrl=ctrl)
         data = physics.step(self._model, data)
 
         def substep(d, _):
-            return physics.step(self._model, d, refine_inverse=True), ()
+            return physics.step(self._model, d, refine_inverse=refine), ()
 
         if self._n_frames > 1:
             data, _ = jax.lax.scan(substep, data, (),

@@ -115,9 +115,12 @@ def train(
     steps_per_interval = int(np.ceil(
         num_timesteps / (intervals * steps_per_training_step)))
     # cap the scan length compiled into any single program; the host loops
-    # the program to cover the interval
+    # the program to cover the interval.  Round-1 pinned this to 50 after
+    # TPU UNAVAILABLE faults; the fault tracked the giant unrolled-solver
+    # graphs, which the fused Pallas kernels replaced — a scan(147)
+    # program ran 9M steps clean (round-2 probe), so the default is 200.
     program_cap = max(1, int(os.environ.get(
-        "VNL_TPU_MAX_STEPS_PER_PROGRAM", "50")))
+        "VNL_TPU_MAX_STEPS_PER_PROGRAM", "200")))
     programs_per_interval = int(np.ceil(steps_per_interval / program_cap))
     scan_len = int(np.ceil(steps_per_interval / programs_per_interval))
 
