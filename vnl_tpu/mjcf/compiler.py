@@ -73,6 +73,8 @@ _PAIR_NCON = {
     (GeomType.SPHERE, GeomType.SPHERE): 1,
     (GeomType.SPHERE, GeomType.CAPSULE): 1,
     (GeomType.CAPSULE, GeomType.CAPSULE): 1,
+    (GeomType.SPHERE, GeomType.BOX): 1,
+    (GeomType.BOX, GeomType.BOX): 8,
 }
 
 

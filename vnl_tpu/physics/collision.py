@@ -8,8 +8,15 @@ boolean compaction, fully vmappable.  Pairs are grouped by geom-type pair at
 trace time so each group is one vectorized kernel.
 
 Supported: plane-{sphere,capsule,ellipsoid,box}, sphere-sphere,
-sphere-capsule, capsule-capsule (covers the reference assets: ant/humanoid
-feet & torso vs floor, rodent paw capsules/ellipsoids vs floor).
+sphere-capsule, sphere-box, capsule-capsule, box-box (the reference assets
+only exercise the plane/sphere/capsule/ellipsoid set: ant/humanoid feet &
+torso vs floor, rodent paw capsules/ellipsoids vs floor; sphere-box and
+box-box extend coverage to box-stacking scenes).
+
+Box-box is SAT over the 15 candidate axes with a fixed 8-contact manifold:
+25 penetration candidates (8+8 corners against the opposing support plane
+along the SAT axis + 9 edge-edge closest points, active only when the SAT
+minimum is that edge axis), keep the 8 deepest.  Static shapes throughout.
 """
 
 from __future__ import annotations
@@ -50,6 +57,143 @@ def _plane_sphere(ppos, pmat, c, r):
     return dist, pos
 
 
+def _sphere_box(c, r, bp, bR, bs):
+    """Sphere (center c, radius r) vs box (pos bp, rot bR, half-size bs).
+
+    Returns (dist, pos, n) with n pointing sphere -> box surface."""
+    local = jnp.einsum("...ji,...j->...i", bR, c - bp)       # box frame
+    clamped = jnp.clip(local, -bs, bs)
+    delta = local - clamped
+    dn = jnp.linalg.norm(delta, axis=-1)
+    outside = dn > 1e-9
+
+    # outside: closest surface point is the clamp
+    n_out = delta / jnp.maximum(dn, 1e-12)[..., None]
+    dist_out = dn - r
+
+    # inside: push out through the nearest face
+    face_d = bs - jnp.abs(local)                              # (.., 3) >= 0
+    k = jnp.argmin(face_d, axis=-1)
+    eye = jnp.eye(3, dtype=c.dtype)
+    ek = eye[k]                                               # (.., 3)
+    sign = jnp.sign(jnp.take_along_axis(local, k[..., None], -1))[..., 0]
+    n_in = -ek * sign[..., None]                              # into the box
+    dist_in = -(jnp.min(face_d, axis=-1) + r)
+
+    n_local = jnp.where(outside[..., None], n_out, n_in)
+    dist = jnp.where(outside, dist_out, dist_in)
+    # n points from sphere toward box => normal = -n_local in world coords
+    n = -jnp.einsum("...ij,...j->...i", bR, n_local)
+    surf = bp + jnp.einsum("...ij,...j->...i", bR, clamped)
+    pos = surf + 0.5 * dist[..., None] * n
+    return dist, pos, n
+
+
+_CORNER_SIGNS = np.array([[sx, sy, sz] for sx in (-1, 1)
+                          for sy in (-1, 1) for sz in (-1, 1)], np.float64)
+
+
+def _box_box(pa, Ra, sa, pb, Rb, sb):
+    """SAT box-box: returns (dist (..,8), pos (..,8,3), n (..,3))."""
+    dtype = pa.dtype
+    R = jnp.einsum("...ji,...jk->...ik", Ra, Rb)   # B axes in A frame
+    t = jnp.einsum("...ji,...j->...i", Ra, pb - pa)
+    absR = jnp.abs(R) + 1e-9
+
+    # 15 axes in A frame: e_i, R[:,j], e_i x R[:,j]
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=dtype), R.shape)
+    axes = [eye[..., :, i] for i in range(3)]
+    axes += [R[..., :, j] for j in range(3)]
+    for i in range(3):
+        for j in range(3):
+            axes.append(jnp.cross(eye[..., :, i], R[..., :, j]))
+    axes = jnp.stack(axes, axis=-2)                # (.., 15, 3)
+    anorm = jnp.maximum(jnp.linalg.norm(axes, axis=-1), 1e-12)
+    axes = axes / anorm[..., None]
+
+    # support radii: ra = sum_i sa_i |l . e_i|, rb = sum_j sb_j |l . R_j|
+    ra = jnp.einsum("...ki,...i->...k", jnp.abs(axes), sa)
+    proj = jnp.einsum("...ki,...ij->...kj", axes, R)   # l_k . R_j
+    rb = jnp.einsum("...kj,...j->...k", jnp.abs(proj), sb)
+    tl = jnp.einsum("...ki,...i->...k", axes, t)
+    depth = ra + rb - jnp.abs(tl)                  # (.., 15)
+    # degenerate cross axes (parallel edges): disable
+    valid = jnp.concatenate(
+        [jnp.ones(depth.shape[:-1] + (6,), dtype),
+         (anorm[..., 6:] > 1e-6).astype(dtype)], axis=-1)
+    depth = jnp.where(valid > 0, depth, jnp.inf)
+    kmin = jnp.argmin(depth, axis=-1)
+    l_min = jnp.take_along_axis(axes, kmin[..., None, None],
+                                axis=-2)[..., 0, :]
+    sgn = jnp.sign(jnp.take_along_axis(tl, kmin[..., None], -1))[..., 0]
+    sgn = jnp.where(sgn == 0, 1.0, sgn)
+    nA = l_min * sgn[..., None]                    # A frame, points A -> B
+    n = jnp.einsum("...ij,...j->...i", Ra, nA)     # world
+
+    ra_n = jnp.einsum("...i,...i->...", jnp.abs(nA), sa)
+    nB = jnp.einsum("...ji,...j->...i", R, nA)     # n in B frame
+    rb_n = jnp.einsum("...i,...i->...", jnp.abs(nB), sb)
+
+    signs = jnp.asarray(_CORNER_SIGNS, dtype)
+    # corners of B (world): penetration beneath A's support plane along n
+    cb = pb[..., None, :] + jnp.einsum("...ij,cj,...j->...ci", Rb, signs, sb)
+    dist_b = (jnp.einsum("...i,...ci->...c", n, cb - pa[..., None, :])
+              - ra_n[..., None])
+    pos_b = cb - 0.5 * dist_b[..., None] * n[..., None, :]
+    # corners of A: penetration beneath B's support plane along -n
+    ca = pa[..., None, :] + jnp.einsum("...ij,cj,...j->...ci", Ra, signs, sa)
+    dist_a = (-jnp.einsum("...i,...ci->...c", n, ca - pb[..., None, :])
+              - rb_n[..., None])
+    pos_a = ca + 0.5 * dist_a[..., None] * n[..., None, :]
+
+    # edge-edge closest points for the 9 cross axes, active only when the
+    # SAT minimum is that axis
+    def seg_closest(p0, d0, h0, p1, d1, h1):
+        # closest points of segments p0 +- h0 d0 and p1 +- h1 d1
+        r = p1 - p0
+        a = jnp.einsum("...i,...i->...", d0, d0)
+        e = jnp.einsum("...i,...i->...", d1, d1)
+        f = jnp.einsum("...i,...i->...", d1, r)
+        c = jnp.einsum("...i,...i->...", d0, r)
+        b = jnp.einsum("...i,...i->...", d0, d1)
+        den = jnp.maximum(a * e - b * b, 1e-12)
+        s = jnp.clip((b * f - c * e) / -den, -h0, h0)
+        u = jnp.clip((b * s + f) / jnp.maximum(e, 1e-12), -h1, h1)
+        s = jnp.clip((b * u + c) / jnp.maximum(a, 1e-12), -h0, h0)
+        return p0 + s[..., None] * d0, p1 + u[..., None] * d1
+
+    e_dists, e_poss = [], []
+    for i in range(3):
+        for j in range(3):
+            k = 6 + 3 * i + j
+            lk = axes[..., k, :] * sgn[..., None]  # approx A->B direction
+            # supporting edge of A along +lk (fix axis i), of B along -lk
+            off_a = jnp.where(
+                jnp.arange(3) == i, 0.0,
+                sa * jnp.sign(lk + 1e-12))
+            off_b_local = jnp.where(
+                jnp.arange(3) == j, 0.0,
+                sb * -jnp.sign(nB + 1e-12))
+            p0 = pa + jnp.einsum("...ij,...j->...i", Ra, off_a)
+            d0 = Ra[..., :, i]
+            p1 = pb + jnp.einsum("...ij,...j->...i", Rb, off_b_local)
+            d1 = Rb[..., :, j]
+            q0, q1 = seg_closest(p0, d0, sa[..., i], p1, d1, sb[..., j])
+            active = kmin == k
+            e_dists.append(jnp.where(active, -depth.min(axis=-1),
+                                     jnp.full_like(sgn, 1e3)))
+            e_poss.append(0.5 * (q0 + q1))
+    dist_e = jnp.stack(e_dists, axis=-1)           # (.., 9)
+    pos_e = jnp.stack(e_poss, axis=-2)             # (.., 9, 3)
+
+    dist_all = jnp.concatenate([dist_b, dist_a, dist_e], axis=-1)
+    pos_all = jnp.concatenate([pos_b, pos_a, pos_e], axis=-2)
+    neg, top = jax.lax.top_k(-dist_all, 8)
+    dist8 = -neg
+    pos8 = jnp.take_along_axis(pos_all, top[..., None], axis=-2)
+    return dist8, pos8, n
+
+
 def pair_expansion(m: Model) -> np.ndarray:
     """Static (ncon_max,) map: contact point -> candidate pair index, in the
     exact order collide() emits contact points."""
@@ -70,6 +214,9 @@ def pair_expansion(m: Model) -> np.ndarray:
     out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.SPHERE)))
     out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.CAPSULE)))
     out.append(group((t1 == GeomType.CAPSULE) & (t2 == GeomType.CAPSULE)))
+    out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.BOX)))
+    idx = group((t1 == GeomType.BOX) & (t2 == GeomType.BOX))
+    out += [idx] * 8
     return np.concatenate([o for o in out]) if out else np.zeros(0, np.int32)
 
 
@@ -218,6 +365,27 @@ def collide(m: Model, d: Data) -> Tuple[jax.Array, jax.Array, jax.Array, np.ndar
         dists.append(dist); poss.append(pos)
         frames.append(_make_frame(n))
         pair_ids.append(idx)
+
+    # ---- sphere-box ----
+    idx = group((t1 == GeomType.SPHERE) & (t2 == GeomType.BOX))
+    if len(idx):
+        g1, g2 = m.pair_geom1[idx], m.pair_geom2[idx]
+        dist, pos, n = _sphere_box(gx[g1], size[g1][:, 0], gx[g2],
+                                   gm[g2], size[g2])
+        dists.append(dist); poss.append(pos)
+        frames.append(_make_frame(n))
+        pair_ids.append(idx)
+
+    # ---- box-box: SAT manifold, 8 points ----
+    idx = group((t1 == GeomType.BOX) & (t2 == GeomType.BOX))
+    if len(idx):
+        g1, g2 = m.pair_geom1[idx], m.pair_geom2[idx]
+        dist8, pos8, n = _box_box(gx[g1], gm[g1], size[g1],
+                                  gx[g2], gm[g2], size[g2])
+        for k in range(8):
+            dists.append(dist8[:, k]); poss.append(pos8[:, k])
+            frames.append(_make_frame(n))
+            pair_ids.append(idx)
 
     dist = jnp.concatenate(dists)
     pos = jnp.concatenate(poss)
