@@ -84,23 +84,32 @@ def test_save_load_params_roundtrip(tiny_train_result, tmp_path):
     assert tree_ok
 
 
-def test_learning_signal_on_ant():
-    """A slightly longer run should not diverge and should keep finite
-    losses; acts as a cheap learning smoke test."""
+def test_learning_improves_reward_on_ant():
+    """Reward must actually IMPROVE, not merely stay finite: ~60k steps of
+    ant tracking on the CPU mesh lifts eval episode reward above the
+    untrained policy's (fixed seed; ~4 min).  This is the asserting
+    learning test the round-1 review required in place of the old
+    finite-loss smoke check."""
     env = envs.get_environment("ant")
+    rewards = []
     losses_seen = []
 
     def progress(step, metrics):
+        if "eval/episode_reward" in metrics:
+            rewards.append(float(metrics["eval/episode_reward"]))
         if "training/total_loss" in metrics:
             losses_seen.append(metrics["training/total_loss"])
 
     training.train(
-        env, num_timesteps=1024, episode_length=8, num_envs=16,
-        num_eval_envs=8, learning_rate=3e-4, unroll_length=4, batch_size=8,
-        num_minibatches=4, num_updates_per_batch=1, num_evals=3,
-        normalize_observations=True, seed=1, progress_fn=progress)
-    assert losses_seen
+        env, num_timesteps=60000, episode_length=60, num_envs=32,
+        num_eval_envs=16, learning_rate=1e-3, entropy_cost=1e-3,
+        unroll_length=8, batch_size=16, num_minibatches=4,
+        num_updates_per_batch=4, num_evals=4, normalize_observations=True,
+        seed=2, progress_fn=progress)
     assert all(np.isfinite(l) for l in losses_seen)
+    first, later = rewards[0], rewards[1:]
+    assert np.mean(later) > first, rewards
+    assert max(later) > 1.1 * first, rewards
 
 
 def test_vanilla_ppo_on_humanoid_standing():

@@ -102,7 +102,17 @@ class AutoResetWrapper(Wrapper):
 
     Like brax, the restore target is the state captured at reset() time (no
     new randomness inside the compiled step).
+
+    Unlike brax, the snapshot holds only the CARRIED physics state
+    (qpos, qvel, act): every other Data field is recomputed from those by
+    forward() before anything reads it, so snapshotting the full pytree
+    (~100 KB/env — qM/qMinv/qMhBinv/cinert dominate) would just burn HBM
+    and where-select bandwidth every step.  Restoring obs is handled via
+    the stored first_obs; reward/done of the terminal step are computed
+    before the restore, exactly as in brax.
     """
+
+    _CARRIED = ("qpos", "qvel", "act")
 
     def __init__(self, env: Env, restore_info: bool = True):
         super().__init__(env)
@@ -110,7 +120,12 @@ class AutoResetWrapper(Wrapper):
 
     def reset(self, rng):
         state = self.env.reset(rng)
-        state.info["first_pipeline_state"] = state.pipeline_state
+        ps = state.pipeline_state
+        if all(hasattr(ps, k) for k in self._CARRIED):
+            snap = {k: getattr(ps, k) for k in self._CARRIED}
+        else:  # non-Data pipeline states: brax-faithful full snapshot
+            snap = ps
+        state.info["first_pipeline_state"] = snap
         state.info["first_obs"] = state.obs
         if self._restore_info:
             snapshot = {k: v for k, v in state.info.items()
@@ -133,9 +148,15 @@ class AutoResetWrapper(Wrapper):
                 done = jnp.reshape(done, [x.shape[0]] + [1] * (len(x.shape) - 1))
             return jnp.where(done, x, y)
 
-        pipeline_state = jax.tree_util.tree_map(
-            where_done, state.info["first_pipeline_state"],
-            state.pipeline_state)
+        snap = state.info["first_pipeline_state"]
+        if isinstance(snap, dict):
+            restored = {k: jax.tree_util.tree_map(
+                where_done, v, getattr(state.pipeline_state, k))
+                for k, v in snap.items()}
+            pipeline_state = state.pipeline_state.replace(**restored)
+        else:
+            pipeline_state = jax.tree_util.tree_map(
+                where_done, snap, state.pipeline_state)
         obs = where_done(state.info["first_obs"], state.obs)
         if self._restore_info and "first_info" in state.info:
             for k, v in state.info["first_info"].items():
