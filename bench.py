@@ -1,9 +1,16 @@
-"""Benchmark: rodent-imitation env stepping throughput on real hardware.
+"""Benchmark: rodent-imitation training throughput on real hardware.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-The metric is aggregate env-steps/s for the flagship workload (rodent
-tracking env: 5 physics substeps + tracking reward + 795-dim reference
-features per control step), batched with vmap on the available device(s).
+The metric is aggregate env-steps/s for the flagship workload — the full
+intention-PPO training loop on the rodent tracking env (5 physics substeps
++ tracking reward + 795-dim reference features per control step + policy
+inference + 512 SGD updates per training step), exactly the workload the
+north-star targets (BASELINE.json: >=1M env-steps/s aggregate rodent
+imitation *training*).  Measured by running the real trainer for a few
+eval intervals and reporting its steady-state training/sps.
+
+Set VNL_BENCH_MODE=stepping for the raw env-stepping variant (no policy,
+no learner; scanned random-action rollouts).
 
 vs_baseline is the fraction of the per-chip share of the north-star target
 (>=1M env-steps/s aggregate at 8 chips => 125k/chip; BASELINE.json — the
@@ -44,14 +51,57 @@ def _record_healthy_sps(sps):
 
 
 def _measure():
+    if os.environ.get("VNL_BENCH_MODE", "train") == "train":
+        return _measure_training()
+    return _measure_stepping()
+
+
+def _build_env():
     from vnl_tpu import envs
     from vnl_tpu.data.io import load_clip
     from vnl_tpu.utils import load_config
 
     cfg = load_config("configs/env_config.yaml")["env"]
     clip = load_clip(cfg["clip_path"])
-    env = envs.get_environment("rodent", reference_clip=clip,
-                               **cfg["env_args"])
+    return envs.get_environment("rodent", reference_clip=clip,
+                                **cfg["env_args"])
+
+
+def _measure_training():
+    """training/sps of the real trainer at reference hyperparams
+    (/root/reference/configs/train_config.yaml: batch 32, unroll 20,
+    32 minibatches, 16 updates) over a few short eval intervals."""
+    from vnl_tpu import training
+
+    env = _build_env()
+    n_dev = len(jax.devices())
+    num_envs = 1024 * n_dev
+    steps_per_training_step = 32 * n_dev * 20 * 32  # batch*unroll*minib
+    intervals = 3
+    steps_per_interval = 60 * steps_per_training_step
+    sps_seen = []
+
+    def progress(step, metrics):
+        if metrics.get("training/sps"):
+            sps_seen.append(float(metrics["training/sps"]))
+
+    training.train(
+        env, num_timesteps=intervals * steps_per_interval,
+        num_evals=intervals + 1, episode_length=150, num_envs=num_envs,
+        num_eval_envs=128, learning_rate=6e-4, entropy_cost=1e-3,
+        discounting=0.99, unroll_length=20, batch_size=32 * n_dev,
+        num_minibatches=32, num_updates_per_batch=16,
+        normalize_observations=True, reward_scaling=1.0,
+        clipping_epsilon=0.2, gae_lambda=0.95, kl_weight=1e-4, seed=0,
+        progress_fn=progress)
+    if not sps_seen:
+        raise RuntimeError("trainer produced no training/sps metric")
+    # first interval pays compile; steady state is the max
+    return max(sps_seen), n_dev
+
+
+def _measure_stepping():
+    env = _build_env()
 
     n_dev = len(jax.devices())
     batch = 1024 * n_dev
