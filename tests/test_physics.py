@@ -283,3 +283,57 @@ def test_box_box_edge_contact():
     # rests on the ridge (z ~ 0.6 + r-ish), did not tunnel through
     assert float(d.qpos[2]) > 0.55, float(d.qpos[2])
     assert np.isfinite(np.asarray(d.qpos)).all()
+
+
+@pytest.mark.parametrize("impratio", [1.0, 4.0])
+def test_elliptic_cone_matches_oracle(impratio):
+    """Elliptic friction cone (D^-1-metric cone projection force model,
+    D_t = D_n * impratio) vs the oracle: constrained accelerations across
+    stick / slide / spin states, then a sliding-to-rest trajectory."""
+    xml = f"""<mujoco>
+      <option cone=\"elliptic\" impratio=\"{impratio}\" timestep=\"0.005\"/>
+      <worldbody>
+        <geom name=\"floor\" type=\"plane\" size=\"5 5 .1\" friction=\"0.8\"/>
+        <body pos=\"0 0 0.095\"><freejoint/>
+          <geom type=\"sphere\" size=\"0.1\" density=\"1000\"
+                friction=\"0.8\"/>
+        </body>
+      </worldbody>
+    </mujoco>"""
+    path = _inline_model(xml)
+    mj = mujoco.MjModel.from_xml_path(path)
+    mj.opt.iterations = 100
+    mj.opt.ls_iterations = 50
+    m = mjcf.load_model(path, dtype=jnp.float64,
+                        overrides={"solver": "cg", "iterations": 60,
+                                   "ls_iterations": 30})
+    fwd = jax.jit(lambda d: physics.forward(m, d))
+    d_mj = mujoco.MjData(mj)
+    for qvel0 in ([0, 0, 0, 0, 0, 0], [0.5, 0, 0, 0, 0, 0],
+                  [3.0, -1.0, 0, 0, 0, 2.0], [0.05, 0.02, 0, 0, 0, 0]):
+        mujoco.mj_resetData(mj, d_mj)
+        d_mj.qvel[:] = qvel0
+        mujoco.mj_forward(mj, d_mj)
+        d = physics.make_data(m, dtype=jnp.float64).replace(
+            qvel=jnp.asarray(qvel0, jnp.float64))
+        d = fwd(d)
+        scale = max(1.0, np.abs(d_mj.qacc).max())
+        err = np.abs(np.asarray(d.qacc) - d_mj.qacc).max() / scale
+        assert err < 5e-3, (qvel0, err, np.asarray(d.qacc), d_mj.qacc)
+
+    # sliding sphere trajectory: slip decays into rolling exactly like
+    # the oracle (spheres roll without rolling resistance at condim 3)
+    mujoco.mj_resetData(mj, d_mj)
+    d_mj.qvel[0] = 1.5
+    d = physics.make_data(m, dtype=jnp.float64)
+    d = d.replace(qvel=d.qvel.at[0].set(1.5))
+    step = jax.jit(lambda x: physics.step(m, x))
+    for _ in range(150):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    np.testing.assert_allclose(np.asarray(d.qpos)[:3], d_mj.qpos[:3],
+                               atol=0.02)
+    np.testing.assert_allclose(np.asarray(d.qvel), d_mj.qvel, atol=0.05)
+    # slip velocity at the contact point is gone (rolling: vx = r*wy)
+    slip = float(d.qvel[0] - 0.1 * d.qvel[4])
+    assert abs(slip) < 0.05, slip

@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vnl_tpu.physics.model import Data, DisableBit, JointType, Model, SolverType
+from vnl_tpu.physics.model import (ConeType, Data, DisableBit, JointType,
+                                   Model, SolverType)
 
 
 class EfcSystem(NamedTuple):
@@ -66,10 +67,19 @@ class EfcSystem(NamedTuple):
     con_pos: jax.Array       # (ncon,)
     nlimit: int
     ncon: int
+    cone: int = 0            # ConeType; pyramidal facets or elliptic rows
+
+    @property
+    def elliptic(self) -> bool:
+        return self.cone == int(ConeType.ELLIPTIC)
+
+    @property
+    def ncon_rows(self) -> int:
+        return 3 if self.elliptic else 4
 
     @property
     def nefc(self) -> int:
-        return self.nlimit + 4 * self.ncon
+        return self.nlimit + self.ncon_rows * self.ncon
 
     def _base(self, x: jax.Array) -> jax.Array:
         """Contact-frame products (ncon, 3) = Jc @ x in either form."""
@@ -83,17 +93,23 @@ class EfcSystem(NamedTuple):
 
     # ---- factored J products ----
     def jx(self, x: jax.Array):
-        """Returns (lim_jx (nlimit,), con_fx (ncon, 4)) = J @ x by block."""
+        """Returns (lim_jx (nlimit,), con_fx (ncon, ncon_rows)) = J @ x.
+
+        Pyramidal: rows are the 4 facets n ± mu*t; elliptic: the raw
+        contact-frame rows (n, t1, t2)."""
         lim = self.lim_sign * x[jnp.asarray(self.lim_dof)] \
             if self.nlimit else jnp.zeros(0, x.dtype)
         if self.ncon:
             base = self._base(x)
-            n, t1, t2 = base[:, 0], base[:, 1], base[:, 2]
-            mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
-            fx = jnp.stack([n + mu1 * t1, n - mu1 * t1,
-                            n + mu2 * t2, n - mu2 * t2], axis=-1)
+            if self.elliptic:
+                fx = base
+            else:
+                n, t1, t2 = base[:, 0], base[:, 1], base[:, 2]
+                mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
+                fx = jnp.stack([n + mu1 * t1, n - mu1 * t1,
+                                n + mu2 * t2, n - mu2 * t2], axis=-1)
         else:
-            fx = jnp.zeros((0, 4), x.dtype)
+            fx = jnp.zeros((0, self.ncon_rows), x.dtype)
         return lim, fx
 
     def jt_f(self, lim_f: jax.Array, con_f: jax.Array) -> jax.Array:
@@ -103,11 +119,14 @@ class EfcSystem(NamedTuple):
         if self.nlimit:
             out = out + self.lim_onehot.T @ (self.lim_sign * lim_f)
         if self.ncon:
-            mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
-            fn = con_f.sum(axis=-1)
-            ft1 = mu1 * (con_f[:, 0] - con_f[:, 1])
-            ft2 = mu2 * (con_f[:, 2] - con_f[:, 3])
-            fvec = jnp.stack([fn, ft1, ft2], axis=-1)      # (ncon, 3)
+            if self.elliptic:
+                fvec = con_f                               # (ncon, 3)
+            else:
+                mu1, mu2 = self.con_mu[:, 0], self.con_mu[:, 1]
+                fn = con_f.sum(axis=-1)
+                ft1 = mu1 * (con_f[:, 0] - con_f[:, 1])
+                ft2 = mu2 * (con_f[:, 2] - con_f[:, 3])
+                fvec = jnp.stack([fn, ft1, ft2], axis=-1)  # (ncon, 3)
             if self.con_Jc is not None:
                 out = out + jnp.einsum("cfv,cf->v", self.con_Jc, fvec)
             else:
@@ -159,6 +178,7 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
     if materialize_jc is None:
         from vnl_tpu.ops import pallas_cg
         materialize_jc = (m.opt.solver == int(SolverType.NEWTON)
+                          or m.opt.cone == int(ConeType.ELLIPTIC)
                           or not pallas_cg.enabled())
 
     disable_limit = bool(m.opt.disableflags & DisableBit.LIMIT)
@@ -243,11 +263,17 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
 
         mu1 = m.pair_friction[pair, 0]
         mu2 = m.pair_friction[pair, 1]
-        con_mu = jnp.stack([mu1, mu2], axis=-1)
         condim = m.pair_dim[con_pair]                  # static numpy
         pyramid = jnp.asarray(condim >= 3, dtype)
+        elliptic = m.opt.cone == int(ConeType.ELLIPTIC)
+        if elliptic:
+            # frictional rows exist only for condim>=3; mu=0 pushes the
+            # cone branches to the pure-normal unilateral case
+            mu1 = mu1 * pyramid
+            mu2 = mu2 * pyramid
+        con_mu = jnp.stack([mu1, mu2], axis=-1)
 
-        # facet velocities and aref
+        # contact-frame velocities
         if con_Jc is not None:
             base_vel = jnp.einsum("cfv,v->cf", con_Jc, d.qvel)
         else:
@@ -257,30 +283,46 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
                         - jnp.einsum("cfk,ck->cf", con_G1,
                                      jnp.asarray(chain1, dtype) @ cx))
         nvl, t1v, t2v = base_vel[:, 0], base_vel[:, 1], base_vel[:, 2]
-        fvel = jnp.stack([nvl + mu1 * t1v, nvl - mu1 * t1v,
-                          nvl + mu2 * t2v, nvl - mu2 * t2v], axis=-1)
-        con_aref = -b[:, None] * fvel - (k * imp * pos)[:, None]
 
         iw_sum = (m.body_invweight0[jnp.asarray(b1)]
                   + m.body_invweight0[jnp.asarray(b2)])
-        mu_f = jnp.stack([mu1, mu1, mu2, mu2], axis=-1)
-        diag = jnp.where(pyramid[:, None] > 0,
-                         iw_sum[:, None] * 2.0 * (1.0 + mu_f * mu_f),
-                         iw_sum[:, None])
-        R_con = jnp.maximum(((1.0 - imp) / imp)[:, None]
-                            * jnp.maximum(diag, 1e-12), 1e-10)
-        con_D = 1.0 / R_con
-        # frictionless contacts act through facet 0 only (mu=0 there makes
-        # all facets duplicates of the normal row => zero the extra three)
-        facet_on = jnp.concatenate(
-            [jnp.ones((ncon, 1), dtype),
-             jnp.broadcast_to(pyramid[:, None], (ncon, 3))], axis=-1)
-        con_D = con_D * facet_on
+        if elliptic:
+            # rows (n, t1, t2); aref position term on the normal row only;
+            # tangential impedance scaled by impratio (oracle-validated:
+            # D = (Dn, Dn*impratio, Dn*impratio), see tests)
+            con_aref = (-b[:, None] * base_vel
+                        - (k * imp * pos)[:, None]
+                        * jnp.array([1.0, 0.0, 0.0], dtype))
+            R_n = jnp.maximum((1.0 - imp) / imp
+                              * jnp.maximum(iw_sum, 1e-12), 1e-10)
+            D_n = 1.0 / R_n
+            D_t = D_n * float(m.opt.impratio) * pyramid
+            con_D = jnp.stack([D_n, D_t, D_t], axis=-1)
+        else:
+            fvel = jnp.stack([nvl + mu1 * t1v, nvl - mu1 * t1v,
+                              nvl + mu2 * t2v, nvl - mu2 * t2v], axis=-1)
+            con_aref = -b[:, None] * fvel - (k * imp * pos)[:, None]
+
+            mu_f = jnp.stack([mu1, mu1, mu2, mu2], axis=-1)
+            diag = jnp.where(pyramid[:, None] > 0,
+                             iw_sum[:, None] * 2.0 * (1.0 + mu_f * mu_f),
+                             iw_sum[:, None])
+            R_con = jnp.maximum(((1.0 - imp) / imp)[:, None]
+                                * jnp.maximum(diag, 1e-12), 1e-10)
+            con_D = 1.0 / R_con
+            # frictionless contacts act through facet 0 only (mu=0 makes
+            # all facets duplicates of the normal row => zero the extras)
+            facet_on = jnp.concatenate(
+                [jnp.ones((ncon, 1), dtype),
+                 jnp.broadcast_to(pyramid[:, None], (ncon, 3))], axis=-1)
+            con_D = con_D * facet_on
+            con_aref = con_aref * facet_on
         con = dict(con_Jc=con_Jc, con_G1=con_G1, con_G2=con_G2,
                    con_chain1=chain1, con_chain2=chain2, con_cdof=d.cdof,
-                   con_mu=con_mu, con_aref=con_aref * facet_on,
+                   con_mu=con_mu, con_aref=con_aref,
                    con_D=con_D, con_pos=pos)
     else:
+        nrows = 3 if m.opt.cone == int(ConeType.ELLIPTIC) else 4
         con = dict(con_Jc=jnp.zeros((0, 3, nv), dtype),
                    con_G1=jnp.zeros((0, 3, 6), dtype),
                    con_G2=jnp.zeros((0, 3, 6), dtype),
@@ -288,8 +330,9 @@ def make_constraints(m: Model, d: Data, con_dist, con_pos, con_frame,
                    con_chain2=np.zeros((0, nv), np.float32),
                    con_cdof=d.cdof,
                    con_mu=jnp.zeros((0, 2), dtype),
-                   con_aref=jnp.zeros((0, 4), dtype),
-                   con_D=jnp.zeros((0, 4), dtype),
+                   con_aref=jnp.zeros((0, nrows), dtype),
+                   con_D=jnp.zeros((0, nrows), dtype),
                    con_pos=jnp.zeros(0, dtype))
 
-    return EfcSystem(nlimit=nlimit, ncon=ncon, **lim, **con)
+    return EfcSystem(nlimit=nlimit, ncon=ncon, cone=int(m.opt.cone),
+                     **lim, **con)

@@ -141,6 +141,8 @@ def forward(m: Model, d: Data, compute_sensors: bool = False,
         qacc, qfrc_constraint, con_force = _solver.solve(m, d, efc,
                                                          qacc_smooth)
         ncon = m.ncon_max
+        if efc.ncon and con_force.shape[-1] == 3:  # elliptic rows -> pad
+            con_force = jnp.pad(con_force, ((0, 0), (0, 1)))
         contact_force = (con_force if efc.ncon else
                          jnp.zeros((ncon, 4), d.qpos.dtype))
         d = d.replace(qfrc_smooth=qfrc_smooth, qacc_smooth=qacc_smooth,

@@ -59,13 +59,97 @@ def _use_pallas() -> bool:
         return False
 
 
+def _elliptic_zones(efc: EfcSystem, con_jar):
+    """Per-contact cone zones for jar = (N, t1, t2).
+
+    The elliptic force is the D^-1-metric projection of -D*jar onto the
+    friction cone {||f_t|| <= mu f_n} (identified against the MuJoCo C
+    oracle across mu/impratio/slip sweeps, incl. D_t = D_n * impratio):
+      top (separated, N >= mu T):            f = 0
+      bottom (-D*jar inside the cone):       f = -D * jar
+      middle (cone surface):  f_n = Dn Dt (mu T - N) / (Dt + mu^2 Dn),
+                              f_t = -mu f_n t / T.
+    Returns (N, t, T, mu, Dn, Dt, top, bottom, fn_mid)."""
+    mu = efc.con_mu[:, 0]
+    Dn = efc.con_D[:, 0]
+    Dt = efc.con_D[:, 1]
+    N = con_jar[:, 0]
+    t = con_jar[:, 1:]
+    T = jnp.sqrt(jnp.sum(t * t, axis=-1) + 1e-20)
+    top = N >= mu * T
+    # -D*jar in-cone: Dt*T <= -mu*Dn*N  (covers frictionless Dt=0, N<0)
+    bottom = jnp.logical_and(jnp.logical_not(top), Dt * T <= -mu * Dn * N)
+    c = Dn * Dt / (Dt + mu * mu * Dn + 1e-20)
+    fn_mid = c * (mu * T - N)
+    return N, t, T, mu, Dn, Dt, top, bottom, fn_mid, c
+
+
+def _elliptic_force(efc: EfcSystem, con_jar):
+    N, t, T, mu, Dn, Dt, top, bottom, fn_mid, _ = _elliptic_zones(efc,
+                                                                  con_jar)
+    fn = jnp.where(top, 0.0, jnp.where(bottom, -Dn * N, fn_mid))
+    ft_bottom = -Dt[:, None] * t
+    ft_mid = -(mu * fn_mid / T)[:, None] * t
+    ft = jnp.where(top[:, None], 0.0,
+                   jnp.where(bottom[:, None], ft_bottom, ft_mid))
+    return jnp.concatenate([fn[:, None], ft], axis=-1)
+
+
 def _forces(efc: EfcSystem, lim_jx, con_fx):
-    """Active-set forces f = -D [jar<0] jar per block."""
+    """Constraint forces per block: active-set f = -D [jar<0] jar for
+    limits and pyramidal facets; cone projection for elliptic contacts."""
     lim_jar = lim_jx - efc.lim_aref
     con_jar = con_fx - efc.con_aref
     lim_f = -efc.lim_D * (lim_jar < 0) * lim_jar
-    con_f = -efc.con_D * (con_jar < 0) * con_jar
+    if efc.elliptic and efc.ncon:
+        con_f = _elliptic_force(efc, con_jar)
+    else:
+        con_f = -efc.con_D * (con_jar < 0) * con_jar
     return lim_jar, con_jar, lim_f, con_f
+
+
+def _line_search_elliptic(ls_iters: int, efc: EfcSystem, p, Mx_minus_a,
+                          Mp, lim_jar, con_jar, lim_jp, con_jp):
+    """Frozen-zone Newton refinement of alpha for the elliptic-cone cost.
+
+    Per iteration the cone zones and tangential direction are frozen at
+    the current alpha, making the 1-D model quadratic (middle-zone cost
+    0.5 c (mu T - N)^2 with T linearized along the ray); limits stay the
+    exact active-set quadratic.  This reduces to the pyramidal search's
+    fixed point when no contact is in the middle zone."""
+    quad_num0 = jnp.dot(p, Mx_minus_a)
+    quad_den0 = jnp.dot(p, Mp)
+    jp_n = con_jp[:, 0]
+    jp_t = con_jp[:, 1:]
+
+    def dphi(alpha):
+        """Exact phi'(alpha) — the 1-D cost is convex, so phi' is
+        monotone and a bracket+bisect on it is globally safe (frozen-zone
+        Newton can cycle between cone zones under strong anisotropy)."""
+        ljar = lim_jar + alpha * lim_jp
+        lim_act = ljar < 0.0
+        con_f = _elliptic_force(efc, con_jar + alpha * con_jp)
+        return (quad_num0 + alpha * quad_den0
+                + jnp.sum(efc.lim_D * lim_act * ljar * lim_jp)
+                - jnp.sum(con_f * con_jp))
+
+    # expand the bracket [0, hi] until phi'(hi) >= 0
+    def expand(_, hi):
+        return jnp.where(dphi(hi) < 0.0, hi * 4.0, hi)
+
+    hi = jax.lax.fori_loop(0, 12, expand, jnp.ones((), p.dtype))
+
+    def bisect(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        neg = dphi(mid) < 0.0
+        return jnp.where(neg, mid, lo), jnp.where(neg, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, max(ls_iters, 1) * 4, bisect,
+                               (jnp.zeros((), p.dtype), hi))
+    alpha = 0.5 * (lo + hi)
+    return jnp.where(dphi(jnp.zeros((), p.dtype)) >= 0.0,
+                     jnp.zeros((), p.dtype), alpha)
 
 
 def _line_search(ls_iters: int, efc: EfcSystem, p, Mx_minus_a, Mp,
@@ -75,6 +159,9 @@ def _line_search(ls_iters: int, efc: EfcSystem, p, Mx_minus_a, Mp,
 
     On TPU the whole search runs as one fused Pallas kernel
     (ops/pallas_solver.py) instead of ~10 HLO ops per refinement."""
+    if efc.elliptic and efc.ncon:
+        return _line_search_elliptic(ls_iters, efc, p, Mx_minus_a, Mp,
+                                     lim_jar, con_jar, lim_jp, con_jp)
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
     n_iter = max(ls_iters, 1)
@@ -224,6 +311,10 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
     lim_jx, con_fx = efc.jx(x)
 
     if m.opt.solver == int(SolverType.NEWTON):
+        if efc.elliptic and efc.ncon:
+            raise NotImplementedError(
+                "Newton solver Hessian assembly is pyramidal-only; use "
+                "solver=cg with cone=elliptic")
         from vnl_tpu.ops.linalg import inv_spd
 
         def newton_iter(carry, _):
