@@ -35,13 +35,14 @@ def p_pipeline(s, a):
 
 def p_obs(s, a):
     d = env.pipeline_step(s.pipeline_state, a)
-    return d, env._get_obs(d)
+    return d, env._get_obs(d, a, s.info)
 
 
 def p_traj(s, a):
     d = env.pipeline_step(s.pipeline_state, a)
     cur = s.info["cur_frame"] + 1
-    return d, env._get_obs(d), env._get_traj(d, cur)
+    ref = env._get_clip(s.info)
+    return d, env._get_obs(d, a, s.info), env._get_traj(d, cur, ref)
 
 
 def p_full(s, a):
