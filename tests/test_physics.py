@@ -337,3 +337,28 @@ def test_elliptic_cone_matches_oracle(impratio):
     # slip velocity at the contact point is gone (rolling: vx = r*wy)
     slip = float(d.qvel[0] - 0.1 * d.qvel[4])
     assert abs(slip) < 0.05, slip
+
+
+def test_implicitfast_matches_oracle():
+    """implicitfast on a damped model: with diagonal velocity derivatives
+    (joint damping only) it equals the (M + h diag(B))^-1 update; compare
+    a 100-step trajectory against mjINT_IMPLICITFAST."""
+    mj = mujoco.MjModel.from_xml_path(f"{ASSETS}/ant.xml")
+    mj.opt.integrator = mujoco.mjtIntegrator.mjINT_IMPLICITFAST
+    mj.opt.iterations = 100
+    mj.opt.ls_iterations = 50
+    assert np.any(mj.dof_damping != 0), "test expects a damped model"
+    m = mjcf.load_model(f"{ASSETS}/ant.xml", dtype=jnp.float64,
+                        overrides={"integrator": "implicitfast",
+                                   "iterations": 50, "ls_iterations": 25})
+    rng = np.random.default_rng(9)
+    ctrl = rng.uniform(-0.2, 0.2, size=mj.nu)
+    d_mj = mujoco.MjData(mj)
+    d_mj.ctrl[:] = ctrl
+    d = physics.make_data(m, dtype=jnp.float64).replace(ctrl=jnp.asarray(ctrl))
+    step = jax.jit(lambda x: physics.step(m, x))
+    for _ in range(100):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    err = np.abs(np.asarray(d.qpos) - d_mj.qpos).max()
+    assert err < 0.05, err

@@ -240,8 +240,20 @@ def _rk4(m: Model, d: Data) -> Data:
 
 
 def step(m: Model, d: Data, refine_inverse: bool = False) -> Data:
-    """One physics step: forward dynamics + integration (Euler with
-    implicit joint damping, or RK4 when the model opts in)."""
+    """One physics step: forward dynamics + integration.
+
+    Integrators: Euler (with implicit joint damping, mj_Euler), RK4
+    (mj_RungeKutta), and implicitfast.  For models whose velocity
+    derivative is diagonal — joint damping only, no fluid forces, no
+    actuator velocity gains, which covers the reference assets —
+    MuJoCo's implicitfast update (M - h*qDeriv)^{-1}(qfrc_smooth +
+    qfrc_constraint) is algebraically the same (M + h*diag(B))^{-1}
+    solve the Euler path performs, so both route through integrate();
+    full 'implicit' (Coriolis derivatives) is not supported."""
+    if m.opt.integrator == int(IntegratorType.IMPLICIT):
+        raise NotImplementedError(
+            "implicit integrator (dense Coriolis qDeriv) not supported; "
+            "use implicitfast or euler")
     d = forward(m, d, refine_inverse=refine_inverse)
     if m.opt.integrator == int(IntegratorType.RK4):
         return _rk4(m, d)

@@ -17,11 +17,17 @@ from vnl_tpu.physics.model import Data, DisableBit, Model
 
 
 def _needs_implicit_damping(m: Model) -> bool:
-    """Static: does the Euler integrator need (M + h·diag(B))⁻¹?"""
+    """Static: does the integrator need (M + h·diag(B))⁻¹?
+
+    Euler honors the eulerdamp disable flag; implicitfast always solves
+    implicitly (that is its definition — see forward.step)."""
+    from vnl_tpu.physics.model import IntegratorType
     try:
         damped = bool(np.any(np.asarray(m.dof_damping) != 0))
     except Exception:  # model passed as a traced argument: keep the solve
         damped = True
+    if m.opt.integrator == int(IntegratorType.IMPLICITFAST):
+        return damped
     return damped and not (m.opt.disableflags & DisableBit.EULERDAMP)
 
 
