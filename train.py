@@ -54,17 +54,24 @@ def build_env(cfg, for_eval=False):
         return envs_lib.get_environment(name, reference_clip=clip,
                                         **env_args)
     if name in ("humanoidtracking",):
-        clip = load_clip(env_cfg["clip_path"])
-        return envs_lib.get_environment(name, reference_clip=clip,
-                                        **env_args)
+        if env_cfg.get("clip_path"):
+            clip = load_clip(env_cfg["clip_path"])
+            return envs_lib.get_environment(name, reference_clip=clip,
+                                            **env_args)
+        return envs_lib.get_environment(name, **env_args)  # built-in clip
     return envs_lib.get_environment(name, **env_args)
 
 
 def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
+    env_cfg = os.path.join(_HERE, "configs", "env_config.yaml")
+    for a in argv:  # swap env-config groups, hydra-style: env_config=<path>
+        if a.startswith("env_config="):
+            env_cfg = a.split("=", 1)[1]
     cfg = load_config(os.path.join(_HERE, "configs", "train_config.yaml"),
-                      os.path.join(_HERE, "configs", "env_config.yaml"))
-    cfg = apply_overrides(cfg, [a for a in argv if "=" in a])
+                      env_cfg)
+    cfg = apply_overrides(cfg, [a for a in argv if "=" in a
+                                and not a.startswith("env_config=")])
     tc = cfg["train"]
 
     env = build_env(cfg)
