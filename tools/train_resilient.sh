@@ -29,8 +29,12 @@ PY
   else
     echo "=== attempt $i: fresh start ===" >&2
   fi
-  python train.py "$@" "${EXTRA[@]}" && exit 0
-  echo "=== attempt $i crashed (rc=$?); retrying ===" >&2
+  # per-attempt watchdog: TPU faults sometimes manifest as silent hangs,
+  # not crashes; bounded attempts + full-state resume keep net progress
+  timeout "${ATTEMPT_SECONDS:-2400}" python train.py "$@" "${EXTRA[@]}"
+  rc=$?
+  [ "$rc" -eq 0 ] && exit 0
+  echo "=== attempt $i ended (rc=$rc); retrying ===" >&2
   sleep 15
 done
 exit 1
