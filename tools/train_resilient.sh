@@ -19,7 +19,7 @@ if os.path.isdir(root):
             if base.isdigit() and int(base) > best_step:
                 best_step = int(base)
                 best = os.path.join(st, name)
-print(best)
+print(os.path.abspath(best) if best else "")
 PY
 )
   EXTRA=()
