@@ -52,7 +52,14 @@ def _record_healthy_sps(sps):
 
 def _measure():
     if os.environ.get("VNL_BENCH_MODE", "train") == "train":
-        return _measure_training()
+        try:
+            return _measure_training()
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print("# train-mode bench failed; falling back to stepping",
+                  flush=True)
+            return _measure_stepping()
     return _measure_stepping()
 
 
