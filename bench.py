@@ -82,10 +82,12 @@ def _measure_training():
 
     env = _build_env()
     n_dev = len(jax.devices())
-    num_envs = 1024 * n_dev
-    steps_per_training_step = 32 * n_dev * 20 * 32  # batch*unroll*minib
+    num_envs = int(os.environ.get("VNL_BENCH_ENVS", 1024 * n_dev))
+    batch_size = max(1, num_envs // 32)
+    steps_per_training_step = batch_size * 20 * 32  # batch*unroll*minib
     intervals = 3
-    steps_per_interval = 60 * steps_per_training_step
+    steps_per_interval = int(os.environ.get(
+        "VNL_BENCH_STEPS_PER_INTERVAL", 60)) * steps_per_training_step
     sps_seen = []
 
     def progress(step, metrics):
@@ -95,12 +97,12 @@ def _measure_training():
     training.train(
         env, num_timesteps=intervals * steps_per_interval,
         num_evals=intervals + 1, episode_length=150, num_envs=num_envs,
-        num_eval_envs=128, learning_rate=6e-4, entropy_cost=1e-3,
-        discounting=0.99, unroll_length=20, batch_size=32 * n_dev,
-        num_minibatches=32, num_updates_per_batch=16,
-        normalize_observations=True, reward_scaling=1.0,
-        clipping_epsilon=0.2, gae_lambda=0.95, kl_weight=1e-4, seed=0,
-        progress_fn=progress)
+        num_eval_envs=min(128, num_envs), learning_rate=6e-4,
+        entropy_cost=1e-3, discounting=0.99, unroll_length=20,
+        batch_size=batch_size, num_minibatches=32,
+        num_updates_per_batch=16, normalize_observations=True,
+        reward_scaling=1.0, clipping_epsilon=0.2, gae_lambda=0.95,
+        kl_weight=1e-4, seed=0, progress_fn=progress)
     if not sps_seen:
         raise RuntimeError("trainer produced no training/sps metric")
     # first interval pays compile; steady state is the max
