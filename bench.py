@@ -160,30 +160,66 @@ def _publish(sps, n_dev, **extra):
     }))
 
 
-def main():
+def _main_inner():
+    """One measurement attempt; prints the JSON line on success."""
     import traceback
+    plat = os.environ.get("VNL_BENCH_PLATFORM")
+    if plat:  # testability: force e.g. cpu before backend init
+        jax.config.update("jax_platforms", plat)
     healthy = _read_healthy_sps()
-    best, n_dev, errors = 0.0, len(jax.devices()), 0
+    try:
+        sps, n_dev = _measure()
+    except Exception:
+        traceback.print_exc()
+        return 1
+    _record_healthy_sps(sps)
+    degraded = healthy is not None and sps < 0.5 * healthy
+    _publish(sps, n_dev,
+             **({"degraded_run_suspected": True} if degraded else {}))
+    return 0
+
+
+def main():
+    """Hang-proof driver: a degraded TPU relay BLOCKS inside C calls (no
+    exception to catch), so each attempt runs in a killable subprocess;
+    this outer process never touches jax.  Always prints one JSON line."""
+    import subprocess
+    import sys
+    if "--inner" in sys.argv:
+        raise SystemExit(_main_inner())
+    healthy = _read_healthy_sps()
+    best_line, best_val = None, 0.0
     for attempt in range(3):
         try:
-            sps, n_dev = _measure()
-        except Exception:
-            traceback.print_exc()
-            errors += 1
-            if errors >= 2:
-                break
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--inner"],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("VNL_BENCH_ATTEMPT_SECONDS",
+                                           "1500")))
+        except subprocess.TimeoutExpired:
+            print(f"# attempt {attempt + 1} hung; retrying",
+                  flush=True)
             continue
-        best = max(best, sps)
-        # accept immediately unless this looks like a degraded relay run
-        if healthy is None or best >= 0.5 * healthy:
+        for line in reversed(out.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                try:
+                    d = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if d.get("value", 0.0) > best_val:
+                    best_val, best_line = d["value"], line
+                break
+        if best_line is not None and (healthy is None
+                                      or best_val >= 0.5 * healthy):
             break
-    if best > 0.0:
-        _record_healthy_sps(best)
-        degraded = healthy is not None and best < 0.5 * healthy
-        _publish(best, n_dev,
-                 **({"degraded_run_suspected": True} if degraded else {}))
+    if best_line is not None:
+        print(best_line)
     else:
-        _publish(0.0, n_dev, error="infra-failure: TPU run failed twice")
+        print(json.dumps({
+            "metric": "rodent_imitation_env_steps_per_s", "value": 0.0,
+            "unit": "env-steps/s", "vs_baseline": 0.0,
+            "error": "infra-failure: TPU bench hung or failed repeatedly",
+        }))
 
 
 if __name__ == "__main__":
