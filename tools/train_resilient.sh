@@ -5,9 +5,9 @@
 set -u
 ATTEMPTS=${ATTEMPTS:-20}
 for i in $(seq 1 "$ATTEMPTS"); do
-  RESTORE=$(python - <<'PY'
+  RESTORE=$(CKPT_ROOT="${CKPT_ROOT:-model_checkpoints}" python - <<'PY'
 import os
-root = "model_checkpoints"
+root = os.environ.get("CKPT_ROOT", "model_checkpoints")
 best, best_step = "", -1
 if os.path.isdir(root):
     for run in os.listdir(root):
