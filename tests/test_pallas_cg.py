@@ -124,6 +124,44 @@ def test_pallas_kernel_matches_reference(setup):
                                    rtol=tol, atol=tol)
 
 
+def test_contact_only_model_uses_fused_path(monkeypatch):
+    """nlimit==0 models (free box on a plate, CG solver) must reach the
+    fused kernel via an inert synthesized limit row, matching the dense
+    solver (round-2 ADVICE: they silently took the slow XLA path)."""
+    import tempfile
+    xml = """<mujoco>
+      <option timestep=\"0.005\" solver=\"CG\" iterations=\"8\"
+              ls_iterations=\"8\"/>
+      <worldbody>
+        <geom name=\"base\" type=\"box\" size=\"1 1 0.1\" pos=\"0 0 0.1\"/>
+        <body name=\"b\" pos=\"0 0 0.27\">
+          <freejoint/>
+          <geom name=\"top\" type=\"box\" size=\"0.1 0.12 0.08\"
+                density=\"300\"/>
+        </body>
+      </worldbody>
+    </mujoco>"""
+    with tempfile.NamedTemporaryFile("w", suffix=".xml", delete=False) as f:
+        f.write(xml)
+    m = mjcf.load_model(f.name)
+    d0 = physics.make_data(m)
+    d0 = physics.forward(m, d0)
+    dist, pos, frame, pair = cmod.collide(m, d0)
+    efc = nmod.make_constraints(m, d0, dist, pos, frame, pair,
+                                materialize_jc=False)
+    assert efc.nlimit == 0 and efc.ncon > 0 and efc.con_Jc is None
+    monkeypatch.setenv("VNL_TPU_FUSED_CG", "1")
+    assert pcg.enabled()
+    qacc_f, qfrc_f, conf_f = smod.solve(m, d0, efc, d0.qacc_smooth)
+    efc_d = nmod.make_constraints(m, d0, dist, pos, frame, pair,
+                                  materialize_jc=True)
+    qacc_d, qfrc_d, conf_d = smod.solve(m, d0, efc_d, d0.qacc_smooth)
+    np.testing.assert_allclose(np.asarray(qacc_f), np.asarray(qacc_d),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(qfrc_f), np.asarray(qfrc_d),
+                               rtol=1e-3, atol=1e-3)
+
+
 def test_forward_fused_path_end_to_end(setup, monkeypatch):
     """forward() with the fused path forced on (interpret) ≈ default."""
     m, d = setup

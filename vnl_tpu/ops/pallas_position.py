@@ -433,7 +433,7 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     key = (id(m), interpret)
     hit = _CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[1]
 
     st = _statics(m)
     nb, nj, nv, nq, ngeom, _, _ = st["dims"]
@@ -505,5 +505,7 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
             final.append(o.reshape((b,) + full))
         return tuple(final), tuple(True for _ in out_defs)
 
-    _CACHE[key] = position_fused
+    # hold m in the entry: the key uses id(m), and a recycled id after GC
+    # would otherwise silently serve a kernel built from different tables
+    _CACHE[key] = (m, position_fused)
     return position_fused

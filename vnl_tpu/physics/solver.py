@@ -271,6 +271,17 @@ def _solve_cg_fused(m: Model, d: Data, efc: EfcSystem, qacc_smooth,
     """Dispatch the whole CG solve to the one-launch Pallas kernel."""
     import numpy as np
     from vnl_tpu.ops.pallas_cg import make_cg_fused
+    if efc.nlimit == 0:
+        # contact-only models (box scenes, free bodies): the kernel wants
+        # >=1 limit row, so synthesize one inert row (sign=0, D=0 — zero
+        # jx and zero force/J^T contribution) rather than fall back to the
+        # slower XLA factored path (round-2 ADVICE finding).
+        dtype = qacc_smooth.dtype
+        z = jnp.zeros(1, dtype)
+        efc = efc._replace(
+            lim_dof=np.zeros(1, np.int32),
+            lim_onehot=jnp.zeros((1, m.nv), dtype),
+            lim_sign=z, lim_aref=z, lim_D=z, lim_pos=z, nlimit=1)
     ls_iters = max(m.opt.ls_iterations, 1)
     lim_dof = np.asarray(efc.lim_dof)
     ref_fn = _make_cg_reference(m.nv, efc.ncon, efc.nlimit, n_iter,
@@ -299,7 +310,7 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
 
     n_iter = max(m.opt.iterations, 1)
     if (m.opt.solver != int(SolverType.NEWTON) and efc.con_Jc is None
-            and efc.ncon > 0 and efc.nlimit > 0):
+            and efc.ncon > 0):
         return _solve_cg_fused(m, d, efc, qacc_smooth, n_iter)
 
     def grad_at(x, lim_jx, con_fx):

@@ -12,9 +12,13 @@ Deviations (documented):
 - Full-state checkpointing with resume (params + optimizer + normalizer +
   env_steps); the reference is save-only (SURVEY.md §5.4).
 - The number of training steps compiled into one XLA program is capped
-  (VNL_TPU_MAX_STEPS_PER_PROGRAM, default 50) and the host re-invokes the
-  program to fill the eval interval: very long training scans have
-  triggered TPU-runtime device faults (CLAUDE.md round-1 incidents).
+  (VNL_TPU_MAX_STEPS_PER_PROGRAM, default 100 — the empirically stable
+  value across rounds 1-2) and the host re-invokes the program to fill the
+  eval interval: very long training scans have triggered TPU-runtime
+  device faults (CLAUDE.md round-1/2 incidents).  On a recoverable device
+  fault mid-interval the trainer restores the last host snapshot, HALVES
+  the cap, recompiles, and continues — an adaptive back-off instead of a
+  hand-tuned constant.
 """
 
 from __future__ import annotations
@@ -116,13 +120,13 @@ def train(
         num_timesteps / (intervals * steps_per_training_step)))
     # cap the scan length compiled into any single program; the host loops
     # the program to cover the interval.  Round-1 pinned this to 50 after
-    # TPU UNAVAILABLE faults; the fault tracked the giant unrolled-solver
-    # graphs, which the fused Pallas kernels replaced — a scan(147)
-    # program ran 9M steps clean (round-2 probe), so the default is 200.
+    # TPU UNAVAILABLE faults; a round-2 probe ran scan(147) for 9M steps
+    # clean but an identical-shape scan(167) run then crashed in its first
+    # interval while cap=100 stayed stable for hours — so the default is
+    # the empirically stable 100, and on a fault the trainer adaptively
+    # halves the cap instead of relying on this constant.
     program_cap = max(1, int(os.environ.get(
-        "VNL_TPU_MAX_STEPS_PER_PROGRAM", "200")))
-    programs_per_interval = int(np.ceil(steps_per_interval / program_cap))
-    scan_len = int(np.ceil(steps_per_interval / programs_per_interval))
+        "VNL_TPU_MAX_STEPS_PER_PROGRAM", "100")))
 
     # PRNG topology (ref :185-192): env/epoch keys are per-process, network
     # init keys are global so every host initializes identical params.
@@ -230,41 +234,96 @@ def train(
             env_steps=ts.env_steps + steps_per_training_step)
         return (ts, env_state, rng), stats
 
-    def run_program(ts, env_state, rng):
-        # rng arrives per-device with a leading shard axis of 1
-        rng = rng.reshape(rng.shape[-1:]) if rng.ndim > 1 else rng
-        (ts, env_state, _), stats = jax.lax.scan(
-            one_training_step, (ts, env_state, rng), (), length=scan_len)
-        stats = jax.lax.pmean(
-            jax.tree_util.tree_map(jnp.mean, stats), _AXIS)
-        return ts, env_state, stats
+    _programs = {}
 
-    run_program = jax.jit(
-        mesh_lib.shard_map_fn(
-            run_program, mesh,
-            in_specs=(P(), P(_AXIS), P(_AXIS)),
-            out_specs=(P(), P(_AXIS), P())),
-        donate_argnums=(0, 1))
+    def get_program(scan_len):
+        """Jitted training program scanning scan_len training steps; cached
+        per length so the adaptive back-off pays one compile per cap."""
+        if scan_len in _programs:
+            return _programs[scan_len]
+
+        def run_program(ts, env_state, rng):
+            # rng arrives per-device with a leading shard axis of 1
+            rng = rng.reshape(rng.shape[-1:]) if rng.ndim > 1 else rng
+            (ts, env_state, _), stats = jax.lax.scan(
+                one_training_step, (ts, env_state, rng), (),
+                length=scan_len)
+            stats = jax.lax.pmean(
+                jax.tree_util.tree_map(jnp.mean, stats), _AXIS)
+            return ts, env_state, stats
+
+        _programs[scan_len] = jax.jit(
+            mesh_lib.shard_map_fn(
+                run_program, mesh,
+                in_specs=(P(), P(_AXIS), P(_AXIS)),
+                out_specs=(P(), P(_AXIS), P())),
+            donate_argnums=(0, 1))
+        return _programs[scan_len]
+
+    def fresh_env_state(key):
+        return jax.jit(env.reset, out_shardings=sharded)(
+            jax.device_put(jax.random.split(key, num_envs), sharded))
 
     training_walltime = 0.0
+    _MAX_FAULT_RETRIES = max(0, int(os.environ.get(
+        "VNL_TPU_FAULT_RETRIES", "2")))
+
+    def _is_device_fault(e) -> bool:
+        s = str(e)
+        return any(tag in s for tag in
+                   ("UNAVAILABLE", "INTERNAL", "device error",
+                    "DEADLINE_EXCEEDED", "ABORTED"))
 
     def run_interval(ts, env_state, rng):
-        """programs_per_interval invocations of the jitted program = one
-        eval interval; returns averaged loss stats + timing metrics."""
-        nonlocal training_walltime
+        """Covers one eval interval (steps_per_interval training steps) by
+        repeatedly invoking the jitted program.  Because programs donate
+        their inputs, a host snapshot of the (small) TrainingState is taken
+        before each program; on a recoverable device fault the snapshot is
+        restored, the program cap is halved (adaptive back-off — CLAUDE.md
+        UNAVAILABLE incidents), envs are re-reset, and the interval
+        continues.  Hangs (no exception) remain the watchdog's job
+        (tools/train_resilient.sh)."""
+        nonlocal training_walltime, program_cap
         t0 = time.time()
         stats_acc = []
-        for j in range(programs_per_interval):
+        steps_done, retries = 0, 0
+        scan_len = None
+        while steps_done < steps_per_interval:
+            if scan_len is None:
+                # even split under the cap (may overshoot the interval by a
+                # few steps, like round 2's schedule) so every program in
+                # the interval shares ONE compiled length.
+                remaining = steps_per_interval - steps_done
+                n_prog = int(np.ceil(remaining / program_cap))
+                scan_len = int(np.ceil(remaining / n_prog))
             rng, program_rng = jax.random.split(rng)
             program_keys = jax.device_put(
                 jax.random.split(program_rng, n_chips), sharded)
-            ts, env_state, stats = run_program(ts, env_state, program_keys)
-            stats_acc.append(stats)
-        jax.tree_util.tree_map(lambda x: x.block_until_ready(), stats_acc[-1])
+            ts_snapshot = jax.device_get(ts)
+            try:
+                ts, env_state, stats = get_program(scan_len)(
+                    ts, env_state, program_keys)
+                jax.tree_util.tree_map(
+                    lambda x: x.block_until_ready(), stats)
+            except Exception as e:  # noqa: BLE001 — classified below
+                if not _is_device_fault(e) or retries >= _MAX_FAULT_RETRIES:
+                    raise
+                retries += 1
+                program_cap = max(10, program_cap // 2)
+                scan_len = None  # recompute the schedule at the new cap
+                logging.warning(
+                    "device fault (%s...); backing program cap off to %d "
+                    "and retrying (%d/%d)", str(e)[:120], program_cap,
+                    retries, _MAX_FAULT_RETRIES)
+                rng, reset_key = jax.random.split(rng)
+                ts = jax.device_put(ts_snapshot, replicated)
+                env_state = fresh_env_state(reset_key)
+                continue
+            steps_done += scan_len
+            stats_acc.append(jax.device_get(stats))
         elapsed = time.time() - t0
         training_walltime += elapsed
-        sps = (programs_per_interval * scan_len * steps_per_training_step
-               ) / elapsed
+        sps = steps_done * steps_per_training_step / elapsed
         metrics = {
             "training/sps": sps,
             "training/walltime": training_walltime,
