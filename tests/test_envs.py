@@ -113,6 +113,34 @@ def test_rodent_sub_clip_termination(rodent_env):
     assert float(state.done) == 1.0  # sub-clip elapsed forces done
 
 
+def test_rodent_sub_clip_curriculum():
+    """min_sub_clip_length samples per-episode horizons log-uniformly in
+    [min, sub_clip_length] and the sampled horizon (not the static max)
+    forces done."""
+    cfg = yaml.safe_load(open(ENV_CFG))["env"]
+    clip = load_clip(CLIP)
+    env = envs.get_environment(
+        "rodent", reference_clip=clip,
+        **{**cfg["env_args"], "sub_clip_length": 200,
+           "min_sub_clip_length": 5})
+    states = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(jax.random.PRNGKey(0), 64))
+    lens = np.asarray(states.info["sub_clip_length"])
+    assert lens.min() >= 5 and lens.max() <= 200
+    assert len(np.unique(lens)) > 10  # a real mixture, not a constant
+    # start frames always leave room for the sampled horizon + lookahead
+    starts = np.asarray(states.info["cur_frame"])
+    assert np.all(starts + lens + env._ref_traj_length
+                  <= env._clip_length)
+    # the sampled horizon forces done: run one short-horizon env
+    i = int(np.argmin(lens))
+    state = jax.tree_util.tree_map(lambda x: x[i], states)
+    step = jax.jit(env.step)
+    for _ in range(int(lens[i])):
+        state = step(state, jnp.zeros(env.action_size))
+    assert float(state.done) == 1.0
+
+
 def test_multiclip_env():
     cfg = yaml.safe_load(open(ENV_CFG))["env"]
     clip = load_clip(CLIP)

@@ -40,6 +40,8 @@ def build_env(cfg, for_eval=False):
     if for_eval and "sub_clip_length" in env_args:
         env_args["sub_clip_length"] = (
             env_args["clip_length"] - env_args.get("ref_traj_length", 5))
+        # eval runs whole clips: never sample curriculum horizons here
+        env_args["min_sub_clip_length"] = None
     if name in ("rodent", "rodent_multiclip"):
         if env_cfg.get("stac_path"):
             clip = process_clip(

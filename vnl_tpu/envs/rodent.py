@@ -60,6 +60,7 @@ class RodentTracking(PipelineEnv):
         reset_noise_scale: float = 1e-3,
         clip_length: int = 250,
         sub_clip_length: int = 10,
+        min_sub_clip_length: Optional[int] = None,
         ref_traj_length: int = 5,
         termination_threshold: float = 5.0,
         body_error_multiplier: float = 1.0,
@@ -103,9 +104,14 @@ class RodentTracking(PipelineEnv):
         self._body_error_multiplier = body_error_multiplier
         self._clip_length = clip_length
         self._sub_clip_length = sub_clip_length
+        self._min_sub_clip_length = min_sub_clip_length
         self._ref_traj_length = ref_traj_length
         if self._sub_clip_length > self._clip_length:
             raise ValueError("sub_clip_length cannot exceed clip_length!")
+        if (min_sub_clip_length is not None
+                and not 1 <= min_sub_clip_length <= sub_clip_length):
+            raise ValueError("need 1 <= min_sub_clip_length <= "
+                             "sub_clip_length")
 
         self._ref_clip = self._filter_clip(reference_clip, len(walker_body_names))
 
@@ -137,18 +143,31 @@ class RodentTracking(PipelineEnv):
 
     # ---- reset / step ----
     def reset(self, rng: jax.Array) -> State:
-        rng_frame, rng_noise, rng_clip = jax.random.split(rng, 3)
+        rng_frame, rng_noise, rng_clip, rng_len = jax.random.split(rng, 4)
+        # Sub-clip curriculum: when min_sub_clip_length is set, each episode
+        # samples its own horizon log-uniformly in [min, sub_clip_length].
+        # The reference trains only on fixed 10-step sub-clips
+        # (env_config.yaml), which leaves full-clip eval rollouts
+        # out-of-distribution (round-2 plateau diagnosis); mixing horizons
+        # across the batch exposes the policy to long-horizon drift.
+        if self._min_sub_clip_length is not None:
+            lo = np.log(float(self._min_sub_clip_length))
+            hi = np.log(float(self._sub_clip_length))
+            u = jax.random.uniform(rng_len)
+            sub_len = jnp.round(jnp.exp(lo + u * (hi - lo))).astype(jnp.int32)
+        else:
+            sub_len = jnp.asarray(self._sub_clip_length, jnp.int32)
         # Eval convention (reference train.py:95-104): passing
         # sub_clip_length = clip_length - ref_traj_length maxes the sub-clip
         # so the start-frame range collapses to {0} and episodes run whole
         # clips.
-        frame_range = max(
-            1, self._clip_length - self._sub_clip_length
-            - self._ref_traj_length)
+        frame_range = jnp.maximum(
+            1, self._clip_length - sub_len - self._ref_traj_length)
         start_frame = jax.random.randint(rng_frame, (), 0, frame_range)
         info = {
             "cur_frame": start_frame,
             "sub_clip_frame": jnp.zeros((), jnp.int32),
+            "sub_clip_length": sub_len,
         }
         info.update(self._extra_reset_info(rng_clip))
         ref = self._get_clip(info)
@@ -204,7 +223,7 @@ class RodentTracking(PipelineEnv):
         info["termination_error"] = rtrunk
         info["traj"] = traj
 
-        sub_clip_ok = info["sub_clip_frame"] < self._sub_clip_length
+        sub_clip_ok = info["sub_clip_frame"] < info["sub_clip_length"]
         done = jnp.where(rtrunk < 0, 1.0, 0.0)
         done = jnp.maximum(done, 1.0 - is_healthy)
         done = jnp.maximum(done, jnp.where(sub_clip_ok, 0.0, 1.0))

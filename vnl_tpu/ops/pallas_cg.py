@@ -58,21 +58,17 @@ def enabled() -> bool:
 def _matvec(m_ref, x, xs_ref):
     """(n, n, L) ref (symmetric matrix) @ (n, L) value -> (n, L).
 
-    Accumulates page-major: out = sum_j M[j] * x[j] (valid by symmetry),
-    so every read is one contiguous (n, L) page.  The vector is staged
-    through a VMEM scratch ref because Mosaic only supports DYNAMIC
-    slicing on refs (a fori_loop keeps the program small; a static
-    unroll of n iterations × 14 call sites made compile time explode).
+    One broadcast multiply (n, n, L) * (n, 1, L) reduced over the MAJOR
+    axis (valid by symmetry: sum_i M[i, j] x[i] = (M x)[j]): ~n*n*L VPU
+    ops in straight-line code.  The middle-axis variant
+    sum(M * x[None], axis=1) trips Mosaic ("Invalid relayout: ...
+    replicated in destination") — sublane reductions leave a reduced
+    layout its consumers can't take; major-axis reduction is plain
+    register adds.  (The earlier fori_loop over pages was ~5x more
+    cycles from loop overhead; a static unroll exploded compile time.)
     """
-    n = x.shape[0]
-    xs_ref[:] = x[:, None, :]
-
-    def body(j, acc):
-        row = m_ref[pl.ds(j, 1), :, :][0]   # (n, L)
-        xj = xs_ref[pl.ds(j, 1), :, :][0]   # (1, L)
-        return acc + row * xj
-
-    return jax.lax.fori_loop(0, n, body, jnp.zeros_like(x))
+    del xs_ref  # kept in the signature: scratch slot still allocated
+    return jnp.sum(m_ref[:] * x[:, None, :], axis=0)
 
 
 def _cg_kernel(statics, qM_ref, qMinv_ref, x0_ref, cdof_ref, g_ref,
