@@ -85,7 +85,9 @@ def _build_env():
     from vnl_tpu.data.io import load_clip
     from vnl_tpu.utils import load_config
 
-    cfg = load_config("configs/env_config.yaml")["env"]
+    cfg = load_config(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "configs", "env_config.yaml"))["env"]
     clip = load_clip(cfg["clip_path"])
     return envs.get_environment("rodent", reference_clip=clip,
                                 **cfg["env_args"])
@@ -105,8 +107,11 @@ def _measure_training():
     batch_size = max(1, num_envs // 32)
     steps_per_training_step = batch_size * 20 * 32  # batch*unroll*minib
     intervals = 3
+    # 150 training steps/interval (~3M env steps): long enough that the
+    # per-interval overheads (snapshot, program re-invocation, eval) stop
+    # dominating the steady-state number (60 underestimated by ~15%).
     steps_per_interval = int(os.environ.get(
-        "VNL_BENCH_STEPS_PER_INTERVAL", 60)) * steps_per_training_step
+        "VNL_BENCH_STEPS_PER_INTERVAL", 150)) * steps_per_training_step
     sps_seen = []
 
     def progress(step, metrics):

@@ -260,6 +260,78 @@ def test_box_pairs_track_oracle(gtype, size, pos, euler, tol):
     assert np.isfinite(np.asarray(d.qpos)).all()
 
 
+@pytest.mark.parametrize("damping", [0.0, 0.3])
+def test_implicit_integrator_matches_oracle(damping):
+    """Full 'implicit' integrator (dense Coriolis qDeriv) vs mj_implicit:
+    a 2-link swinging chain — Coriolis derivatives are the terms
+    implicitfast drops, so this trajectory separates the two."""
+    xml = f"""<mujoco><option timestep=\"0.01\" integrator=\"implicit\"/>
+      <worldbody><body pos=\"0 0 1\">
+        <joint name=\"j1\" type=\"hinge\" axis=\"0 1 0\" damping=\"{damping}\"/>
+        <geom type=\"capsule\" fromto=\"0 0 0 0.4 0 0\" size=\"0.02\"
+              density=\"1000\"/>
+        <body pos=\"0.4 0 0\">
+          <joint name=\"j2\" type=\"hinge\" axis=\"0 1 0\"
+                 damping=\"{damping}\"/>
+          <geom type=\"capsule\" fromto=\"0 0 0 0.3 0 0\" size=\"0.02\"
+                density=\"1000\"/>
+        </body>
+      </body></worldbody></mujoco>"""
+    path = _inline_model(xml)
+    mj = mujoco.MjModel.from_xml_path(path)
+    d_mj = mujoco.MjData(mj)
+    d_mj.qpos[:] = [1.2, 0.4]
+    m = mjcf.load_model(path, dtype=jnp.float64)
+    d = physics.make_data(m, qpos=jnp.array([1.2, 0.4]), dtype=jnp.float64)
+    step = jax.jit(lambda x: physics.step(m, x))
+    for _ in range(150):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    np.testing.assert_allclose(np.asarray(d.qpos), d_mj.qpos, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d.qvel), d_mj.qvel, atol=1e-5)
+
+
+_CYL_SCENE = """<mujoco>
+  <option timestep="0.005"/>
+  <worldbody>
+    <geom name="floor" type="plane" size="5 5 .1" friction="0.8"/>
+    <body name="b" pos="{pos}" euler="{euler}">
+      <freejoint/>
+      <geom name="cyl" type="cylinder" size="0.08 0.15" density="300"/>
+    </body>
+  </worldbody>
+</mujoco>"""
+
+
+@pytest.mark.parametrize("pos,euler,tol", [
+    ("0 0 0.3", "90 0 0", 0.02),   # lying on its side: settles at z ~ r
+    ("0 0 0.4", "0 0 0", 0.02),    # standing on a cap: z ~ half-length
+    ("0 0 0.35", "75 0 0", 0.04),  # tilted drop: topples and settles
+])
+def test_plane_cylinder_tracks_oracle(pos, euler, tol):
+    """Plane-cylinder narrowphase (4 rim candidates) vs the MuJoCo oracle:
+    a free cylinder dropped on a plane must settle at the oracle's height
+    in every attitude (side line contact, cap tripod, toppling)."""
+    xml = _CYL_SCENE.format(pos=pos, euler=euler)
+    path = _inline_model(xml)
+    mj = mujoco.MjModel.from_xml_path(path)
+    mj.opt.iterations = 100
+    mj.opt.ls_iterations = 50
+    m = mjcf.load_model(path, dtype=jnp.float64,
+                        overrides={"iterations": 50, "ls_iterations": 25})
+    d_mj = mujoco.MjData(mj)
+    d = physics.make_data(m, dtype=jnp.float64)
+    step = jax.jit(lambda x: physics.step(m, x))
+    for _ in range(400):
+        mujoco.mj_step(mj, d_mj)
+        d = step(d)
+    z_ours = float(d.qpos[2])
+    z_mj = float(d_mj.qpos[2])
+    assert abs(z_ours - z_mj) < tol, (z_ours, z_mj)
+    assert float(jnp.abs(d.qvel).max()) < 0.5
+    assert np.isfinite(np.asarray(d.qpos)).all()
+
+
 def test_box_box_edge_contact():
     """Crossed boxes (edge-edge SAT axis): box at 45 deg about x dropped on
     a thin ridge must come to rest on top, not fall through."""
@@ -285,11 +357,14 @@ def test_box_box_edge_contact():
     assert np.isfinite(np.asarray(d.qpos)).all()
 
 
-@pytest.mark.parametrize("impratio", [1.0, 4.0])
-def test_elliptic_cone_matches_oracle(impratio):
+@pytest.mark.parametrize("impratio,solver", [
+    (1.0, "cg"), (4.0, "cg"), (1.0, "newton"), (4.0, "newton")])
+def test_elliptic_cone_matches_oracle(impratio, solver):
     """Elliptic friction cone (D^-1-metric cone projection force model,
     D_t = D_n * impratio) vs the oracle: constrained accelerations across
-    stick / slide / spin states, then a sliding-to-rest trajectory."""
+    stick / slide / spin states, then a sliding-to-rest trajectory.
+    The newton variant exercises the elliptic-cone Hessian assembly
+    (exact middle-zone second derivative, r3)."""
     xml = f"""<mujoco>
       <option cone=\"elliptic\" impratio=\"{impratio}\" timestep=\"0.005\"/>
       <worldbody>
@@ -305,7 +380,7 @@ def test_elliptic_cone_matches_oracle(impratio):
     mj.opt.iterations = 100
     mj.opt.ls_iterations = 50
     m = mjcf.load_model(path, dtype=jnp.float64,
-                        overrides={"solver": "cg", "iterations": 60,
+                        overrides={"solver": solver, "iterations": 60,
                                    "ls_iterations": 30})
     fwd = jax.jit(lambda d: physics.forward(m, d))
     d_mj = mujoco.MjData(mj)

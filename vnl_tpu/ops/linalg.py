@@ -74,6 +74,22 @@ def refine_inv(a: jax.Array, x0: jax.Array, iters: int = 2) -> jax.Array:
     return 0.5 * (x + jnp.swapaxes(x, -1, -2))
 
 
+def refine_inv_general(a: jax.Array, x0: jax.Array,
+                       iters: int = 6) -> jax.Array:
+    """Newton–Schulz refinement for a GENERAL (possibly unsymmetric)
+    inverse, batched.  Same X <- X(2I - AX) iteration as refine_inv but
+    without the symmetrization step (which would corrupt unsymmetric
+    inverses, e.g. the implicit integrator's (M - h*qDeriv) with Coriolis
+    derivative terms).  Converges quadratically whenever ||I - A X0|| < 1;
+    callers seed with a nearby SPD inverse (qMhBinv)."""
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    x = x0
+    for _ in range(iters):
+        x = x @ (2.0 * eye - a @ x)
+    return x
+
+
 def inv_spd_ns(a: jax.Array, iters: int = 16, unroll: int = 4) -> jax.Array:
     """SPD inverse by Jacobi-scaled Newton–Schulz iteration, batched.
 

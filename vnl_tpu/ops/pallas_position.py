@@ -439,17 +439,14 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     nb, nj, nv, nq, ngeom, _, _ = st["dims"]
     packed, colmap = _pack(st)
     kernel = functools.partial(_position_kernel, st, colmap)
-    # device_put the static tables ONCE at build time: numpy arrays
-    # converted inside the jit trace become program-embedded literals,
-    # which this environment's TPU relay re-uploads on EVERY execution
-    # (~0.9 MB => ~0.75 ms/call, measured — it dominated the kernel).
-    # Concrete device arrays are safe to cache across traces (the earlier
-    # hazard was caching TRACERS); as jaxpr consts they are passed to the
-    # executable as device-resident parameters.
-    big_arrays = ([jax.device_put(np.asarray(st[k], np.float32))
-                   for k in _BIG]
-                  + [jax.device_put(np.asarray(packed[g], np.float32))
-                     for g in _PACK])
+    # keep numpy here: make_position_fused is typically first called
+    # INSIDE a jit trace, and any jax conversion there creates tracers that
+    # must not be cached across traces (convert per call in lanes_call).
+    # (Round-3 probe: device_put-ing these at build time changed kernel
+    # time by 0 — constant upload is NOT part of the 0.9 ms cost — and
+    # leaked tracers into the cache when the build happened under a trace.)
+    big_arrays = ([np.asarray(st[k], np.float32) for k in _BIG]
+                  + [np.asarray(packed[g], np.float32) for g in _PACK])
 
     out_defs = [
         ((nb, 3), (nb, 3)), ((nb, 4), (nb, 4)), ((nb, 9), (nb, 3, 3)),
@@ -484,7 +481,7 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
             in_specs=[spec(nq)] + [cspec(a.shape) for a in big_arrays],
             out_specs=[spec(*s) for s, _ in out_defs],
             interpret=interpret,
-        )(qpos_l, *big_arrays)
+        )(qpos_l, *[jnp.asarray(a) for a in big_arrays])
 
     @custom_batching.custom_vmap
     def position_fused(qpos):

@@ -7,7 +7,7 @@ activity is expressed through the distance sign — no dynamic shapes, no
 boolean compaction, fully vmappable.  Pairs are grouped by geom-type pair at
 trace time so each group is one vectorized kernel.
 
-Supported: plane-{sphere,capsule,ellipsoid,box}, sphere-sphere,
+Supported: plane-{sphere,capsule,ellipsoid,cylinder,box}, sphere-sphere,
 sphere-capsule, sphere-box, capsule-capsule, box-box (the reference assets
 only exercise the plane/sphere/capsule/ellipsoid set: ant/humanoid feet &
 torso vs floor, rodent paw capsules/ellipsoids vs floor; sphere-box and
@@ -209,6 +209,8 @@ def pair_expansion(m: Model) -> np.ndarray:
     idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.CAPSULE))
     out += [idx, idx]
     out.append(group((t1 == GeomType.PLANE) & (t2 == GeomType.ELLIPSOID)))
+    idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.CYLINDER))
+    out += [idx] * 4
     idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.BOX))
     out += [idx] * 4
     out.append(group((t1 == GeomType.SPHERE) & (t2 == GeomType.SPHERE)))
@@ -286,6 +288,46 @@ def collide(m: Model, d: Data) -> Tuple[jax.Array, jax.Array, jax.Array, np.ndar
         dists.append(dist); poss.append(pos)
         frames.append(_plane_frame(gm[g1]))
         pair_ids.append(idx)
+
+    # ---- plane-cylinder: 4 rim candidates ----
+    # Both caps' rim support points along the steepest in-disk descent
+    # direction (the side contact line's endpoints when lying flat), plus
+    # the lower cap's rim at that direction rotated +-120 deg (a stable
+    # tripod when standing on a cap; those points surface above the plane
+    # and deactivate in every other attitude).
+    idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.CYLINDER))
+    if len(idx):
+        g1, g2 = m.pair_geom1[idx], m.pair_geom2[idx]
+        n = gm[g1][..., :, 2]
+        axis = gm[g2][..., :, 2]
+        r = size[g2][:, 0]
+        h = size[g2][:, 1]
+        cosa = jnp.einsum("...i,...i->...", n, axis)
+        u_raw = cosa[..., None] * axis - n  # downhill, projected into disk
+        sina = jnp.linalg.norm(u_raw, axis=-1)
+        # standing on a cap: the downhill direction degenerates; any radial
+        # direction serves (the tripod provides the support polygon)
+        u = jnp.where(sina[..., None] > 1e-6,
+                      u_raw / jnp.maximum(sina, 1e-12)[..., None],
+                      gm[g2][..., :, 0])
+        v = jnp.cross(axis, u)
+        u120 = -0.5 * u + 0.8660254 * v
+        u240 = -0.5 * u - 0.8660254 * v
+        s_low = -jnp.sign(cosa + 1e-12)[..., None] * jnp.ones_like(u)
+        ones = jnp.ones_like(u)
+
+        def _rim(cap_sign, dirv):
+            p = (gx[g2] + cap_sign * h[..., None] * axis
+                 + r[..., None] * dirv)
+            dist = jnp.einsum("...i,...i->...", n, p - gx[g1])
+            return dist, p - 0.5 * dist[..., None] * n
+
+        for cap, dirv in ((ones, u), (-ones, u), (s_low, u120),
+                          (s_low, u240)):
+            dist, pos = _rim(cap, dirv)
+            dists.append(dist); poss.append(pos)
+            frames.append(_plane_frame(gm[g1]))
+            pair_ids.append(idx)
 
     # ---- plane-box: 4 deepest corners ----
     idx = group((t1 == GeomType.PLANE) & (t2 == GeomType.BOX))

@@ -200,6 +200,42 @@ def integrate(m: Model, d: Data) -> Data:
     return d.replace(qpos=qpos, qvel=qvel, act=act)
 
 
+def _vel_forces(m: Model, d: Data, qvel: jax.Array) -> jax.Array:
+    """Velocity-dependent smooth forces at state (d.qpos, qvel):
+    passive (damping/springs) - bias (Coriolis/centrifugal) + actuator."""
+    d2 = d.replace(qvel=qvel)
+    cvel, cdof_dot = _rne.com_vel(m, d2)
+    qfrc_bias = _rne.rne(m, d2, cvel, cdof_dot)
+    qfrc_passive = _rne.passive(m, d2)
+    _, qfrc_act, _ = _actuation.actuation(m, d2)
+    return qfrc_passive - qfrc_bias + qfrc_act
+
+
+def _implicit_integrate(m: Model, d: Data) -> Data:
+    """mj_implicit: qvel += h * (M - h*qDeriv)^-1 (qfrc_smooth +
+    qfrc_constraint) with qDeriv = d(smooth velocity forces)/d qvel —
+    Coriolis/centrifugal, joint damping, and actuator velocity gains.
+
+    MuJoCo builds qDeriv analytically (mjd_smooth_vel) and LU-factors the
+    unsymmetric (M - h*qDeriv); here qDeriv is the exact jacfwd of the same
+    forces (nv forward tangents through the velocity stage — identical
+    derivative, no hand-derived recursion), and the solve is Newton-Schulz
+    seeded from the damped-mass inverse qMhBinv: the residual is
+    O(h*||dCoriolis||*||M^-1||), so a few all-matmul iterations reach the
+    dtype floor — no TPU-hostile LU (CLAUDE.md: keep solves on matmuls)."""
+    from vnl_tpu.ops.linalg import refine_inv_general
+    h = m.opt.timestep
+    qDeriv = jax.jacfwd(lambda v: _vel_forces(m, d, v))(d.qvel)
+    A = d.qM - h * qDeriv
+    Ainv = refine_inv_general(A, d.qMhBinv, iters=6)
+    with jax.default_matmul_precision(_matmul_precision()):
+        qacc = Ainv @ (d.qfrc_smooth + d.qfrc_constraint)
+    qvel = d.qvel + h * qacc
+    act = d.act + h * d.act_dot if m.na else d.act
+    qpos = _integrate_pos(m, d.qpos, qvel, h)
+    return d.replace(qpos=qpos, qvel=qvel, act=act)
+
+
 _RK4_A = ((0.5, 0.0, 0.0), (0.0, 0.5, 0.0), (0.0, 0.0, 1.0))
 _RK4_B = (1.0 / 6.0, 1.0 / 3.0, 1.0 / 3.0, 1.0 / 6.0)
 
@@ -243,18 +279,16 @@ def step(m: Model, d: Data, refine_inverse: bool = False) -> Data:
     """One physics step: forward dynamics + integration.
 
     Integrators: Euler (with implicit joint damping, mj_Euler), RK4
-    (mj_RungeKutta), and implicitfast.  For models whose velocity
+    (mj_RungeKutta), implicitfast, and full implicit (mj_implicit, dense
+    Coriolis qDeriv via _implicit_integrate).  For models whose velocity
     derivative is diagonal — joint damping only, no fluid forces, no
     actuator velocity gains, which covers the reference assets —
     MuJoCo's implicitfast update (M - h*qDeriv)^{-1}(qfrc_smooth +
     qfrc_constraint) is algebraically the same (M + h*diag(B))^{-1}
-    solve the Euler path performs, so both route through integrate();
-    full 'implicit' (Coriolis derivatives) is not supported."""
-    if m.opt.integrator == int(IntegratorType.IMPLICIT):
-        raise NotImplementedError(
-            "implicit integrator (dense Coriolis qDeriv) not supported; "
-            "use implicitfast or euler")
+    solve the Euler path performs, so both route through integrate()."""
     d = forward(m, d, refine_inverse=refine_inverse)
+    if m.opt.integrator == int(IntegratorType.IMPLICIT):
+        return _implicit_integrate(m, d)
     if m.opt.integrator == int(IntegratorType.RK4):
         return _rk4(m, d)
     return integrate(m, d)

@@ -44,21 +44,6 @@ def _scan_unroll() -> int:
         return 1
 
 
-def _use_pallas() -> bool:
-    """Opt-in: the fused kernel is correct (3e-7 agreement) but measured
-    SLOWER at B=1024 — vmap maps it to a grid of 1024 tiny programs whose
-    per-program overhead exceeds the saved HLO launches.  A block-batched
-    variant (many envs per program) is future work; until then default off.
-    """
-    import os
-    if not os.environ.get("VNL_TPU_ENABLE_PALLAS_LS"):
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
 def _elliptic_zones(efc: EfcSystem, con_jar):
     """Per-contact cone zones for jar = (N, t1, t2).
 
@@ -157,21 +142,15 @@ def _line_search(ls_iters: int, efc: EfcSystem, p, Mx_minus_a, Mp,
     """Exact line search on the piecewise-quadratic cost along p
     (fori_loop body: active-set refinement at fixed trip count).
 
-    On TPU the whole search runs as one fused Pallas kernel
-    (ops/pallas_solver.py) instead of ~10 HLO ops per refinement."""
+    (A per-env fused-line-search Pallas kernel existed through round 2 but
+    measured slower than the XLA path at B=1024 and was removed; the whole
+    CG solve is fused instead — ops/pallas_cg.py.)"""
     if efc.elliptic and efc.ncon:
         return _line_search_elliptic(ls_iters, efc, p, Mx_minus_a, Mp,
                                      lim_jar, con_jar, lim_jp, con_jp)
     quad_num0 = jnp.dot(p, Mx_minus_a)
     quad_den0 = jnp.dot(p, Mp)
     n_iter = max(ls_iters, 1)
-
-    if _use_pallas():
-        from vnl_tpu.ops.pallas_solver import fused_line_search
-        jar = jnp.concatenate([lim_jar, con_jar.reshape(-1)])
-        jp = jnp.concatenate([lim_jp, con_jp.reshape(-1)])
-        D = jnp.concatenate([efc.lim_D, efc.con_D.reshape(-1)])
-        return fused_line_search(quad_num0, quad_den0, jar, jp, D, n_iter)
 
     def body(_, alpha):
         lim_act = (lim_jar + alpha * lim_jp) < 0.0
@@ -322,21 +301,49 @@ def solve(m: Model, d: Data, efc: EfcSystem, qacc_smooth: jax.Array
     lim_jx, con_fx = efc.jx(x)
 
     if m.opt.solver == int(SolverType.NEWTON):
-        if efc.elliptic and efc.ncon:
-            raise NotImplementedError(
-                "Newton solver Hessian assembly is pyramidal-only; use "
-                "solver=cg with cone=elliptic")
         from vnl_tpu.ops.linalg import inv_spd
+
+        def _elliptic_hess_blocks(con_jar):
+            """Per-contact 3x3 Hessian of the elliptic-cone cost wrt
+            jar = (N, t1, t2) (cf. _elliptic_zones):
+              top:    0
+              bottom: diag(Dn, Dt, Dt)                (plain quadratic)
+              middle: c * [[1, -mu t^],[-mu t^, mu^2 t^ t^' +
+                       mu (mu T - N)/T (I2 - t^ t^')]],  t^ = t/T
+            — the exact second derivative of 0.5 c (mu T - N)^2, PSD in
+            the middle zone (mu T - N > 0 there)."""
+            N, t, T, mu, Dn, Dt, top, bottom, fn_mid, c = _elliptic_zones(
+                efc, con_jar)
+            that = t / T[:, None]
+            tt = that[:, :, None] * that[:, None, :]        # (ncon, 2, 2)
+            eye2 = jnp.eye(2, dtype=con_jar.dtype)
+            mid_tt = ((mu * mu)[:, None, None] * tt
+                      + (mu * (mu * T - N) / T)[:, None, None]
+                      * (eye2 - tt))
+            nt = -(mu[:, None] * that)                      # (ncon, 2)
+            top_row = jnp.concatenate(
+                [jnp.ones_like(N)[:, None], nt], axis=-1)   # (ncon, 3)
+            bot_rows = jnp.concatenate([nt[:, :, None], mid_tt], axis=-1)
+            Hb_mid = c[:, None, None] * jnp.concatenate(
+                [top_row[:, None, :], bot_rows], axis=1)    # (ncon, 3, 3)
+            Hb_bottom = (jnp.stack([Dn, Dt, Dt], axis=-1)[:, :, None]
+                         * jnp.eye(3, dtype=con_jar.dtype))
+            Hb = jnp.where(bottom[:, None, None], Hb_bottom, Hb_mid)
+            return jnp.where(top[:, None, None], 0.0, Hb)
 
         def newton_iter(carry, _):
             x, lim_jx, con_fx = carry
             lim_jar = lim_jx - efc.lim_aref
             con_jar = con_fx - efc.con_aref
             g = grad_at(x, lim_jx, con_fx)
-            # H = M + J^T diag(D act) J assembled from the factored blocks
+            # H = M + J^T H_cost J assembled from the factored blocks
             lim_w = efc.lim_D * (lim_jar < 0)
             H = d.qM + (efc.lim_onehot.T * lim_w) @ efc.lim_onehot
-            if efc.ncon:
+            if efc.ncon and efc.elliptic:
+                W = _elliptic_hess_blocks(con_jar)
+                H = H + jnp.einsum("cfv,cfg,cgw->vw", efc.con_Jc, W,
+                                   efc.con_Jc)
+            elif efc.ncon:
                 con_w = efc.con_D * (con_jar < 0)      # (ncon, 4)
                 mu1, mu2 = efc.con_mu[:, 0], efc.con_mu[:, 1]
                 one = jnp.ones_like(mu1)

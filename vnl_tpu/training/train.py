@@ -143,8 +143,19 @@ def train(
     sharded = NamedSharding(mesh, P(_AXIS))
     replicated = NamedSharding(mesh, P())
 
+    def put_sharded_rows(local_rows):
+        """Global data-axis array from per-process rows.  device_put with a
+        non-addressable sharding asserts value equality across processes —
+        wrong for deliberately per-process streams (env/program keys, ref
+        ppo_imitation/train.py:185-192) — so multi-process goes through
+        make_array_from_process_local_data."""
+        if process_count == 1:
+            return jax.device_put(local_rows, sharded)
+        return jax.make_array_from_process_local_data(sharded, local_rows)
+
+    num_envs_local = num_envs // process_count
     env_state = jax.jit(env.reset, out_shardings=sharded)(
-        jax.device_put(jax.random.split(env_key, num_envs), sharded))
+        put_sharded_rows(jax.random.split(env_key, num_envs_local)))
 
     normalize = (running_statistics.normalize if normalize_observations
                  else (lambda x, y: x))
@@ -266,7 +277,7 @@ def train(
 
     def fresh_env_state(key):
         return jax.jit(env.reset, out_shardings=sharded)(
-            jax.device_put(jax.random.split(key, num_envs), sharded))
+            put_sharded_rows(jax.random.split(key, num_envs_local)))
 
     training_walltime = 0.0
     _MAX_FAULT_RETRIES = max(0, int(os.environ.get(
@@ -282,16 +293,19 @@ def train(
         """Covers one eval interval (steps_per_interval training steps) by
         repeatedly invoking the jitted program.  Because programs donate
         their inputs, a host snapshot of the (small) TrainingState is taken
-        before each program; on a recoverable device fault the snapshot is
-        restored, the program cap is halved (adaptive back-off — CLAUDE.md
-        UNAVAILABLE incidents), envs are re-reset, and the interval
-        continues.  Hangs (no exception) remain the watchdog's job
-        (tools/train_resilient.sh)."""
+        ONCE at interval start (a per-program device_get costs a host
+        round-trip through the TPU relay every ~60-100 steps — measured
+        part of the bench-vs-steady-state gap); on a recoverable device
+        fault the snapshot is restored, the program cap is halved (adaptive
+        back-off — CLAUDE.md UNAVAILABLE incidents), envs are re-reset, and
+        the INTERVAL RESTARTS from the snapshot.  Hangs (no exception)
+        remain the watchdog's job (tools/train_resilient.sh)."""
         nonlocal training_walltime, program_cap
         t0 = time.time()
         stats_acc = []
         steps_done, retries = 0, 0
         scan_len = None
+        ts_snapshot = jax.device_get(ts)
         while steps_done < steps_per_interval:
             if scan_len is None:
                 # even split under the cap (may overshoot the interval by a
@@ -301,9 +315,8 @@ def train(
                 n_prog = int(np.ceil(remaining / program_cap))
                 scan_len = int(np.ceil(remaining / n_prog))
             rng, program_rng = jax.random.split(rng)
-            program_keys = jax.device_put(
-                jax.random.split(program_rng, n_chips), sharded)
-            ts_snapshot = jax.device_get(ts)
+            program_keys = put_sharded_rows(
+                jax.random.split(program_rng, jax.local_device_count()))
             try:
                 ts, env_state, stats = get_program(scan_len)(
                     ts, env_state, program_keys)
@@ -317,11 +330,13 @@ def train(
                 scan_len = None  # recompute the schedule at the new cap
                 logging.warning(
                     "device fault (%s...); backing program cap off to %d "
-                    "and retrying (%d/%d)", str(e)[:120], program_cap,
-                    retries, _MAX_FAULT_RETRIES)
+                    "and restarting the interval (%d/%d)", str(e)[:120],
+                    program_cap, retries, _MAX_FAULT_RETRIES)
                 rng, reset_key = jax.random.split(rng)
                 ts = jax.device_put(ts_snapshot, replicated)
                 env_state = fresh_env_state(reset_key)
+                steps_done = 0
+                stats_acc = []
                 continue
             steps_done += scan_len
             stats_acc.append(jax.device_get(stats))
