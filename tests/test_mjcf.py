@@ -174,3 +174,33 @@ def test_rodent_reference_pipeline():
                                mj.actuator_gainprm[:, :3], atol=1e-8)
     np.testing.assert_array_equal(m.actuator_biastype, mj.actuator_biastype)
     assert m.na == mj.na == m.nu  # filter activations preserved
+
+
+@pytest.mark.parametrize("path", [
+    "/root/reference/assets/rodent_pair.xml",
+    "/root/reference/assets/humanoid_pair.xml",
+])
+def test_replicate_pair_models(path):
+    """<replicate> expansion (parser._expand_replicates) vs the oracle:
+    the two-instance overlay models compile with identical sizes, name-
+    aligned body tables, replicated actuators/sensors, and FK parity."""
+    import jax
+    from vnl_tpu import physics
+
+    mj = mujoco.MjModel.from_xml_path(path)
+    m = mjcf.load_model(path, dtype=jnp.float64)
+    assert (m.nbody, m.njnt, m.nu) == (mj.nbody, mj.njnt, mj.nu)
+    order = [mujoco.mj_id2name(mj, mujoco.mjtObj.mjOBJ_BODY, i)
+             for i in range(mj.nbody)]
+    ours = {n: i for i, n in enumerate(m.body_names)}
+    idx = [ours[n] for n in order]  # KeyError = name scheme mismatch
+    np.testing.assert_allclose(np.asarray(m.body_pos)[idx], mj.body_pos,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(m.body_quat)[idx], mj.body_quat,
+                               atol=1e-10)
+    d_mj = mujoco.MjData(mj)
+    mujoco.mj_forward(mj, d_mj)
+    d = physics.make_data(m, dtype=jnp.float64)
+    d = jax.jit(lambda x: physics.forward(m, x))(d)
+    np.testing.assert_allclose(np.asarray(d.xpos)[idx], d_mj.xpos,
+                               atol=1e-7)

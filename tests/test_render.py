@@ -43,3 +43,41 @@ def test_egocentric_camera():
     frame = render_egocentric(m, qpos)
     assert frame.shape == (64, 64, 3)
     assert frame.std() > 1  # sees something
+
+
+def test_jit_egocentric_camera():
+    """Jit/vmap-able egocentric camera (render/jit_camera.py — the in-graph
+    equivalent of the reference walker's 64x64 camera observable): compiles
+    under jit+vmap, sees the floor plane below the head, and the image
+    changes when the head moves."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vnl_tpu import physics
+    from vnl_tpu.data.io import load_clip
+    from vnl_tpu.render import make_egocentric_camera
+
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True)
+    clip = load_clip("/root/reference/clips/transform_snips_groom.p")
+    qpos0 = np.concatenate([np.asarray(clip.position[0]),
+                            np.asarray(clip.quaternion[0]),
+                            np.asarray(clip.joints[0])])
+    cam = make_egocentric_camera(m, "skull")
+
+    import importlib
+    fwd = importlib.import_module("vnl_tpu.physics.forward")
+
+    def frame(qpos):
+        d = physics.make_data(m, qpos=qpos)
+        d, _ = fwd.fwd_position(m, d)
+        return cam(d)
+
+    qposs = jnp.stack([jnp.asarray(qpos0),
+                       jnp.asarray(qpos0).at[2].add(0.05)])
+    imgs = jax.jit(jax.vmap(frame))(qposs)
+    assert imgs.shape == (2, 64, 64, 3)
+    imgs = np.asarray(imgs)
+    assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
+    assert imgs[0].std() > 0.01          # sees structure, not a constant
+    assert np.abs(imgs[0] - imgs[1]).max() > 0.01  # pose-dependent

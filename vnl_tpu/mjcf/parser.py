@@ -118,6 +118,135 @@ def _parse_element(node: ET.Element, childclass: Optional[str]) -> MjcfElement:
     return el
 
 
+# ---------------------------------------------------------------------------
+# <replicate> expansion (mirrors MuJoCo's compile-time macro: the subtree is
+# duplicated `count` times under an accumulating (offset, euler) transform,
+# every name gains `sep + i`, and top-level elements referencing replicated
+# names — actuators, sensors, contact pairs/excludes — are replicated too;
+# cf. rodent_pair.xml:163 / humanoid_pair.xml:109)
+# ---------------------------------------------------------------------------
+
+_REF_ATTRS = ("joint", "site", "body", "body1", "body2", "geom", "geom1",
+              "geom2", "target", "tendon", "actuator", "objname")
+
+
+def _quat_mul(u, v):
+    uw, ux, uy, uz = u
+    vw, vx, vy, vz = v
+    return np.array([
+        uw * vw - ux * vx - uy * vy - uz * vz,
+        uw * vx + ux * vw + uy * vz - uz * vy,
+        uw * vy - ux * vz + uy * vw + uz * vx,
+        uw * vz + ux * vy - uy * vx + uz * vw])
+
+
+def _euler_quat(e, seq):
+    basis = {"x": np.array([1.0, 0, 0]), "y": np.array([0, 1.0, 0]),
+             "z": np.array([0, 0, 1.0])}
+    q = np.array([1.0, 0, 0, 0])
+    for i, ax in enumerate(seq):
+        a = float(e[i])
+        qi = np.concatenate([[np.cos(0.5 * a)],
+                             basis[ax.lower()] * np.sin(0.5 * a)])
+        q = _quat_mul(q, qi) if ax.islower() else _quat_mul(qi, q)
+    return q / np.linalg.norm(q)
+
+
+def _quat_rot(q, v):
+    w, x, y, z = q
+    u = np.array([x, y, z])
+    t = 2.0 * np.cross(u, v)
+    return v + w * t + np.cross(u, t)
+
+
+def _collect_names(el, out):
+    if "name" in el.attrib:
+        out.add(el.attrib["name"])
+    for c in el.children:
+        _collect_names(c, out)
+
+
+def _rename_tree(el, names, suffix):
+    if el.attrib.get("name"):
+        el.attrib["name"] = el.attrib["name"] + suffix
+    for k in _REF_ATTRS:
+        if el.attrib.get(k) in names:
+            el.attrib[k] = el.attrib[k] + suffix
+    for c in el.children:
+        _rename_tree(c, names, suffix)
+
+
+def _expand_replicates(spec: MjcfSpec) -> None:
+    import copy as _copy
+
+    degree = spec.compiler.get("angle", "degree") == "degree"
+    seq = spec.compiler.get("eulerseq", "xyz")
+    reps = []  # (names, count, sep) per replicate block
+
+    def transform_frame(el, t, q):
+        """Applies the accumulated replica transform to a frame-bearing
+        top-level element (pos rotated+offset; orientation left-composed)."""
+        pos = np.fromstring(el.attrib.get("pos", "0 0 0"), sep=" ")
+        el.attrib["pos"] = " ".join(repr(float(x))
+                                    for x in t + _quat_rot(q, pos))
+        if "quat" in el.attrib:
+            q0 = np.fromstring(el.attrib["quat"], sep=" ")
+        elif "euler" in el.attrib:
+            e = np.fromstring(el.attrib["euler"], sep=" ")
+            q0 = _euler_quat(np.deg2rad(e) if degree else e, seq)
+            del el.attrib["euler"]
+        else:
+            q0 = np.array([1.0, 0, 0, 0])
+        el.attrib["quat"] = " ".join(repr(float(x))
+                                     for x in _quat_mul(q, q0))
+
+    def expand_in(parent):
+        out = []
+        for el in parent.children:
+            if el.tag != "replicate":
+                expand_in(el)
+                out.append(el)
+                continue
+            count = int(el.attrib["count"])
+            sep = el.attrib.get("sep", "")
+            offset = np.fromstring(el.attrib.get("offset", "0 0 0"), sep=" ")
+            e = np.fromstring(el.attrib.get("euler", "0 0 0"), sep=" ")
+            q_step = _euler_quat(np.deg2rad(e) if degree else e, seq)
+            names = set()
+            for c in el.children:
+                _collect_names(c, names)
+            reps.append((names, count, sep))
+            t = np.zeros(3)
+            q = np.array([1.0, 0, 0, 0])
+            for i in range(count):
+                for c in el.children:
+                    cp = _copy.deepcopy(c)
+                    _rename_tree(cp, names, f"{sep}{i}")
+                    transform_frame(cp, t, q)
+                    expand_in(cp)
+                    out.append(cp)
+                t = t + _quat_rot(q, offset)
+                q = _quat_mul(q, q_step)
+        parent.children = out
+
+    expand_in(spec.worldbody)
+
+    for names, count, sep in reps:
+        for attr in ("actuators", "sensors", "contact_pairs",
+                     "contact_excludes"):
+            lst = getattr(spec, attr)
+            out = []
+            for el in lst:
+                if not any(el.attrib.get(k) in names for k in _REF_ATTRS):
+                    out.append(el)
+                    continue
+                for i in range(count):
+                    cp = _copy.deepcopy(el)
+                    _rename_tree(cp, names, f"{sep}{i}")
+                    out.append(cp)
+            setattr(spec, attr, out)
+
+
 def parse(path_or_xml: str) -> MjcfSpec:
     """Parses an MJCF file path or XML string into a spec tree."""
     if os.path.exists(path_or_xml):
@@ -194,7 +323,7 @@ def parse(path_or_xml: str) -> MjcfSpec:
     if worldbody is None:
         raise ValueError("MJCF file has no <worldbody>")
 
-    return MjcfSpec(
+    spec = MjcfSpec(
         model_name=root.get("model", "model"),
         compiler=compiler,
         option=option,
@@ -209,3 +338,6 @@ def parse(path_or_xml: str) -> MjcfSpec:
         keyframes=keyframes,
         customs=customs,
     )
+    if spec.worldbody.find_all("replicate"):
+        _expand_replicates(spec)
+    return spec

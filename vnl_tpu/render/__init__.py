@@ -7,5 +7,6 @@ rasterizer (always available, zero GL deps); a MuJoCo GL backend is used
 opportunistically when the platform provides osmesa/egl.
 """
 
+from vnl_tpu.render.jit_camera import make_egocentric_camera
 from vnl_tpu.render.software import (SoftwareRenderer, render_egocentric,
                                      render_overlay_video, render_trajectory)
