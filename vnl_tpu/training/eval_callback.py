@@ -41,6 +41,14 @@ class EvalCallback:
         self._plots = plots
         self._calls = 0
         self._rollout = jax.jit(self._build_rollout())
+        # overlay rendering is host-side numpy rasterization (~60-80 s per
+        # eval at 320x240x150 frames) — run it on one worker thread so it
+        # overlaps the next training interval instead of stalling it
+        # (measured wall/in-program sps ratio 0.77 with synchronous render)
+        import concurrent.futures
+        self._render_pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1)
+        self._pending_render = None
 
     def _build_rollout(self):
         env = self._env
@@ -108,12 +116,24 @@ class EvalCallback:
             self._logger.log(series, step=num_steps)
 
         if self._render and self._calls % self._render_every == 0:
-            try:
-                video = self._render_overlay(
-                    np.asarray(traj["qpos"]), int(start_frame), num_steps)
-                series["diag/video"] = video
-            except Exception as e:  # rendering must never kill training
-                series["diag/video_error"] = str(e)
+            # skip if the previous eval's render is still running (pileup
+            # guard: rendering must never fall behind training)
+            if self._pending_render is None or self._pending_render.done():
+                qpos = np.asarray(traj["qpos"])
+                sf = int(start_frame)
+
+                def _job():
+                    try:
+                        return self._render_overlay(qpos, sf, num_steps)
+                    except Exception as e:  # never kill training
+                        return f"render-error: {e}"
+
+                self._pending_render = self._render_pool.submit(_job)
+                series["diag/video"] = os.path.join(
+                    self._model_path, f"rollout_{num_steps}.mp4")
+                series["diag/video_async"] = True
+            else:
+                series["diag/video_skipped"] = "previous render in flight"
         self._calls += 1
         return series
 
