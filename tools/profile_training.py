@@ -89,6 +89,10 @@ def collect(env_state, policy_params, rng):
     return env_state, jax.tree_util.tree_map(flatten, batch)
 
 
+import os
+_SGD_UNROLL = int(os.environ.get("VNL_TPU_SGD_UNROLL", "1"))
+
+
 def sgd(opt_state, params, batch, rng):
     def learn_on_batch(carry, _):
         opt_state, params, k = carry
@@ -105,7 +109,8 @@ def sgd(opt_state, params, batch, rng):
             return (opt_state, params, k), stats
 
         (opt_state, params, _), stats = jax.lax.scan(
-            apply_mb, (opt_state, params, gk), minib)
+            apply_mb, (opt_state, params, gk), minib,
+            unroll=_SGD_UNROLL)
         return (opt_state, params, k), stats
 
     (opt_state, params, _), stats = jax.lax.scan(

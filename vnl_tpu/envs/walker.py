@@ -107,6 +107,15 @@ class RatWalker:
         return ((2.0 * pose[..., order] - (rng[:, 0] + rng[:, 1]))
                 / (rng[:, 1] - rng[:, 0]))
 
+    def egocentric_camera(self, width: int = 64, height: int = 64):
+        """Jit/vmap-able 64x64 egocentric head camera (reference
+        walker.py:388-405 observable): returns camera(d: Data) ->
+        (height, width, 3) float32 usable inside env observations.  The
+        host-side video equivalent is render.render_egocentric."""
+        from vnl_tpu.render import make_egocentric_camera
+        return make_egocentric_camera(self.model, "skull",
+                                      width=width, height=height)
+
     def env_config(self) -> Dict:
         """Generates the tracking-env name lists (env_config.yaml content)."""
         tracked = list(self.mocap_tracking_bodies)
