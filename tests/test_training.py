@@ -142,3 +142,20 @@ def test_training_determinism():
         lambda a, b: bool(np.array_equal(np.asarray(a), np.asarray(b))),
         p1, p2))
     assert identical
+
+
+def test_fault_recovery_restarts_interval(monkeypatch):
+    """A device fault mid-interval restores the interval-start snapshot,
+    halves the program cap, and training still reaches num_timesteps with
+    finite replicated params (round-2/3 UNAVAILABLE-fault machinery)."""
+    monkeypatch.setenv("VNL_TPU_FAULT_INJECT", "1")
+    monkeypatch.setenv("VNL_TPU_MAX_STEPS_PER_PROGRAM", "2")
+    env = envs.get_environment("ant")
+    make_policy, params, metrics = training.train(
+        env, num_timesteps=512, episode_length=8, num_envs=16,
+        num_eval_envs=8, learning_rate=3e-4, unroll_length=4, batch_size=8,
+        num_minibatches=4, num_updates_per_batch=1, num_evals=2,
+        normalize_observations=True, seed=0)
+    assert "eval/episode_reward" in metrics
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(params))

@@ -282,6 +282,10 @@ def train(
     training_walltime = 0.0
     _MAX_FAULT_RETRIES = max(0, int(os.environ.get(
         "VNL_TPU_FAULT_RETRIES", "2")))
+    # test hook: raise one synthetic device fault inside the first program
+    # invocation so the snapshot-restore + cap-back-off path is exercised
+    # by the CPU suite (tests/test_training.py::test_fault_recovery)
+    _inject_faults = int(os.environ.get("VNL_TPU_FAULT_INJECT", "0"))
 
     def _is_device_fault(e) -> bool:
         s = str(e)
@@ -300,7 +304,7 @@ def train(
         back-off — CLAUDE.md UNAVAILABLE incidents), envs are re-reset, and
         the INTERVAL RESTARTS from the snapshot.  Hangs (no exception)
         remain the watchdog's job (tools/train_resilient.sh)."""
-        nonlocal training_walltime, program_cap
+        nonlocal training_walltime, program_cap, _inject_faults
         t0 = time.time()
         stats_acc = []
         steps_done, retries = 0, 0
@@ -318,6 +322,10 @@ def train(
             program_keys = put_sharded_rows(
                 jax.random.split(program_rng, jax.local_device_count()))
             try:
+                if _inject_faults > 0:
+                    _inject_faults -= 1
+                    raise RuntimeError(
+                        "UNAVAILABLE: injected test device fault")
                 ts, env_state, stats = get_program(scan_len)(
                     ts, env_state, program_keys)
                 jax.tree_util.tree_map(
