@@ -120,17 +120,33 @@ class HumanoidTracking(PipelineEnv):
         obs = self._get_obs(data)
         traj = self._get_traj(data, info["cur_frame"])
 
+        # Pair POST-step data with the incremented frame (rodent.py
+        # convention; the reference pairs old-data/old-frame,
+        # humanoid.py:190-244).  The pre-step state is NOT safe to read
+        # spatial fields from: after an AutoReset restore only qpos/qvel/act
+        # are live, and the stale xpos/subtree_com of the episode that just
+        # died (possibly non-finite) leaked NaN into the rcom/rtrunk metrics
+        # and garbage into the first reward of every restored episode.
         rcom, rvel, rtrunk, rquat, ract, is_healthy = self._calculate_reward(
-            state, action)
+            state.replace(pipeline_state=data, info=info), action)
         done = jnp.where(rtrunk < 0.5, 1.0, 0.0)
         rcom, rvel, rtrunk, rquat = (x * 0.01 for x in (rcom, rvel, rtrunk, rquat))
         ract = ract * 0.0001
+        # Sanitize each term (not just the total): terms feed state.metrics,
+        # and the EvalWrapper's masked sum (a + b * active) propagates a NaN
+        # from a physics-blowup terminal step into the whole episode tally.
+        rcom, rvel, rtrunk, rquat, ract = (
+            jnp.nan_to_num(x, posinf=0.0, neginf=0.0)
+            for x in (rcom, rvel, rtrunk, rquat, ract))
         total_reward = rcom + rvel + rtrunk + rquat + ract
         info["termination_error"] = rtrunk
         info["traj"] = traj
         done = jnp.maximum(done, 1.0 - is_healthy)
-        reward = jnp.nan_to_num(total_reward)
-        obs = jnp.nan_to_num(obs)
+        # posinf/neginf=0: mapping a blown-up obs to +-3.4e38 instead would
+        # permanently poison the running obs-normalizer statistics (the
+        # round-3 humanoid run's v_loss exploded to 5e8 exactly this way).
+        reward = jnp.nan_to_num(total_reward, posinf=0.0, neginf=0.0)
+        obs = jnp.nan_to_num(obs, posinf=0.0, neginf=0.0)
         done = _nan_guard(data, done)
         state.metrics.update(rcom=rcom, rvel=rvel, rquat=rquat, ract=ract,
                              rtrunk=rtrunk, termination_error=rtrunk)

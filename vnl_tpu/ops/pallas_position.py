@@ -39,7 +39,11 @@ try:
 except Exception:  # pragma: no cover
     _HAS_PLTPU = False
 
-_BLOCK = 128
+# Lane-block width: envs per kernel instance.  The kernel body is written
+# in terms of L = qpos.shape[-1], so any multiple of 128 works; wider blocks
+# amortize per-op issue overhead across more lanes at the cost of VMEM
+# (the qM output block is (nv, nv, _BLOCK) — 2.7 MB at 128 for the rodent).
+_BLOCK = int(os.environ.get("VNL_TPU_POSITION_BLOCK", "128"))
 _MIN_FUSED_BATCH = 128
 
 # static tables passed as kernel inputs; pallas forbids captured array
