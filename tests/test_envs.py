@@ -181,3 +181,35 @@ def test_humanoid_standing():
     m = env.sys
     want = (m.nq - 2) + m.nv + (m.nbody - 1) * 10 + (m.nbody - 1) * 6 + m.nv
     assert state.obs.shape == (want,)
+
+
+@pytest.mark.parametrize("name", ["humanoidtracking", "humanoidstanding"])
+def test_humanoid_restore_boundary_sane(name):
+    """Regression: the first step after an AutoReset restore must not read
+    stale spatial fields (xpos/subtree_com) of the episode that just died —
+    only qpos/qvel/act are swapped by the restore.  Guards the post-step
+    reward pairing in HumanoidTracking (humanoid.py step) and the
+    info-carried COM baseline in HumanoidStanding."""
+    env = envs.wrap_for_training(
+        envs.get_environment(name), episode_length=3)
+    n = 4
+    rng = jax.random.split(jax.random.PRNGKey(0), n)
+    state = jax.jit(env.reset)(rng)
+    step = jax.jit(env.step)
+    # drive with large random actions so the pre-restore episode's spatial
+    # state diverges hard from the reset snapshot
+    akey = jax.random.PRNGKey(1)
+    for i in range(3):
+        akey, sub = jax.random.split(akey)
+        a = jax.random.uniform(sub, (n, env.action_size), minval=-1.0,
+                               maxval=1.0)
+        state = step(state, a)
+    assert np.all(np.asarray(state.done) == 1.0)  # truncated
+    state = step(state, jnp.zeros((n, env.action_size)))  # restored step
+    assert np.all(np.asarray(state.info["steps"]) == 1.0)
+    assert np.all(np.isfinite(np.asarray(state.reward)))
+    assert np.all(np.abs(np.asarray(state.reward)) < 100.0)
+    for k, v in state.metrics.items():
+        arr = np.asarray(v)
+        assert np.all(np.isfinite(arr)), k
+        assert np.all(np.abs(arr) < 1e3), (k, arr)

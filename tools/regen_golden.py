@@ -14,11 +14,18 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main():
     import sys
     sys.path.insert(0, HERE)
-    from tests.test_golden import _rollout
+    from tests.test_golden import _rodent_rollout, _rollout
+    fixdir = os.path.join(HERE, "tests", "fixtures")
+    os.makedirs(fixdir, exist_ok=True)
+
     qpos, reward = _rollout()
-    out = os.path.join(HERE, "tests", "fixtures", "golden_ant_rollout.npz")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out = os.path.join(fixdir, "golden_ant_rollout.npz")
     np.savez(out, qpos=qpos, reward=reward)
+    print("wrote", out, qpos.shape)
+
+    qpos, reward, obs = _rodent_rollout()
+    out = os.path.join(fixdir, "golden_rodent_rollout.npz")
+    np.savez(out, qpos=qpos, reward=reward, obs=obs)
     print("wrote", out, qpos.shape)
 
 

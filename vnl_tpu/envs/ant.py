@@ -129,8 +129,9 @@ class AntTracking(PipelineEnv):
         info["traj"] = obs[: self._traj_size()]
         done = jnp.where(rtrunk < 0, 1.0, 0.0)
         done = jnp.maximum(done, 1.0 - is_healthy)
-        reward = jnp.nan_to_num(total_reward)
-        obs = jnp.nan_to_num(obs)
+        # posinf/neginf=0: +-3.4e38 would poison the obs-normalizer stats
+        reward = jnp.nan_to_num(total_reward, posinf=0.0, neginf=0.0)
+        obs = jnp.nan_to_num(obs, posinf=0.0, neginf=0.0)
         bad = jnp.logical_not(jnp.all(jnp.isfinite(data.qpos))
                               & jnp.all(jnp.isfinite(data.qvel))
                               & jnp.all(jnp.isfinite(data.qacc)))

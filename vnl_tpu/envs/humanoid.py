@@ -254,13 +254,19 @@ class HumanoidStanding(PipelineEnv):
             "y_velocity": zero,
         }
         # "traj" pathway mirrors obs so the shared intention-PPO stack also
-        # trains this vanilla locomotion task (BASELINE config #2)
-        return State(data, obs, reward, done, metrics, {"traj": obs})
+        # trains this vanilla locomotion task (BASELINE config #2).  The COM
+        # is carried in info (restored by AutoResetWrapper's info snapshot):
+        # the previous pipeline_state's subtree_com is STALE after an
+        # AutoReset restore (only qpos/qvel/act are swapped), so reading it
+        # directly would produce a garbage COM velocity on the first step of
+        # every restored episode.
+        info = {"traj": obs, "com": data.subtree_com[1]}
+        return State(data, obs, reward, done, metrics, info)
 
     def step(self, state: State, action: jax.Array) -> State:
         data0 = state.pipeline_state
         data = self.pipeline_step(data0, action)
-        com_before = data0.subtree_com[1]
+        com_before = state.info["com"]
         com_after = data.subtree_com[1]
         velocity = (com_after - com_before) / self.dt
         forward_reward = self._forward_reward_weight * velocity[0]
@@ -274,8 +280,9 @@ class HumanoidStanding(PipelineEnv):
         obs = self._get_obs(data, action)
         reward = forward_reward + healthy_reward - ctrl_cost
         done = 1.0 - is_healthy if self._terminate_when_unhealthy else 0.0
-        reward = jnp.nan_to_num(reward)
-        obs = jnp.nan_to_num(obs)
+        # posinf/neginf=0: +-3.4e38 would poison the obs-normalizer stats
+        reward = jnp.nan_to_num(reward, posinf=0.0, neginf=0.0)
+        obs = jnp.nan_to_num(obs, posinf=0.0, neginf=0.0)
         done = _nan_guard(data, done)
         state.metrics.update(
             forward_reward=forward_reward, reward_linvel=forward_reward,
@@ -285,6 +292,7 @@ class HumanoidStanding(PipelineEnv):
             x_velocity=velocity[0], y_velocity=velocity[1])
         info = dict(state.info)
         info["traj"] = obs
+        info["com"] = com_after
         return state.replace(pipeline_state=data, obs=obs, reward=reward,
                              done=done, info=info)
 

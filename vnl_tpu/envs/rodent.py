@@ -218,7 +218,6 @@ class RodentTracking(PipelineEnv):
         rtrunk = rtrunk * 0.01
         rquat = rquat * 0.01
         ract = ract * 0.0001
-        total_reward = rcom + rvel + rtrunk + rquat + ract + rapp
 
         info["termination_error"] = rtrunk
         info["traj"] = traj
@@ -228,9 +227,17 @@ class RodentTracking(PipelineEnv):
         done = jnp.maximum(done, 1.0 - is_healthy)
         done = jnp.maximum(done, jnp.where(sub_clip_ok, 0.0, 1.0))
 
-        # NaN containment (reference envs/rodent.py:217-225)
-        reward = jnp.nan_to_num(total_reward)
-        obs = jnp.nan_to_num(obs)
+        # NaN containment (reference envs/rodent.py:217-225).  Each term is
+        # sanitized (not just the total) because terms feed state.metrics and
+        # the EvalWrapper's masked sums; posinf/neginf map to 0 rather than
+        # +-3.4e38, which would permanently poison the running obs-normalizer
+        # statistics (the round-3 humanoid v_loss blowup failure mode).
+        rcom, rvel, rtrunk, rquat, ract, rapp = (
+            jnp.nan_to_num(x, posinf=0.0, neginf=0.0)
+            for x in (rcom, rvel, rtrunk, rquat, ract, rapp))
+        total_reward = rcom + rvel + rtrunk + rquat + ract + rapp
+        reward = jnp.nan_to_num(total_reward, posinf=0.0, neginf=0.0)
+        obs = jnp.nan_to_num(obs, posinf=0.0, neginf=0.0)
         bad = jnp.logical_not(jnp.all(jnp.isfinite(data.qpos))
                               & jnp.all(jnp.isfinite(data.qvel))
                               & jnp.all(jnp.isfinite(data.qacc))

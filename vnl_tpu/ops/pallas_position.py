@@ -44,6 +44,10 @@ except Exception:  # pragma: no cover
 # amortize per-op issue overhead across more lanes at the cost of VMEM
 # (the qM output block is (nv, nv, _BLOCK) — 2.7 MB at 128 for the rodent).
 _BLOCK = int(os.environ.get("VNL_TPU_POSITION_BLOCK", "128"))
+if _BLOCK <= 0 or _BLOCK % 128 != 0:
+    raise ValueError(
+        f"VNL_TPU_POSITION_BLOCK={_BLOCK} must be a positive multiple of "
+        "128 (the TPU lane width; the kernel packs batch into lanes)")
 _MIN_FUSED_BATCH = 128
 
 # static tables passed as kernel inputs; pallas forbids captured array

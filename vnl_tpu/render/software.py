@@ -1,11 +1,17 @@
-"""First-party software rasterizer for eval videos.
+"""First-party software ray-caster for eval videos.
 
-Minimal painter's-algorithm renderer over the compiled Model's geoms:
-spheres/capsules/ellipsoids/boxes project to depth-sorted primitives; the
-ground plane renders as a checkerboard.  Intended for offline eval overlay
-videos (agent vs. reference ghost), not for training observations — runs on
-host numpy at a few frames/sec, which matches the reference's osmesa
-renderer role (train.py:274-331).
+Per-pixel ray casting with a real z-buffer over the compiled Model's geoms:
+spheres, capsules, cylinders, BOXES and ellipsoids intersect analytically
+in their local frames (no bounding-sphere substitutes), the ground plane
+renders as a checkerboard, and translucent overlay instances blend against
+the opaque depth buffer.  Intended for offline eval overlay videos (agent
+vs. reference ghost), not for training observations — runs on host numpy
+at a few frames/sec, which matches the reference's osmesa renderer role
+(train.py:274-331).
+
+Each geom only evaluates the pixels inside its projected bounding circle
+(geom_rbound), so frames cost ~sum of on-screen geom areas, not
+ngeom x H x W.
 """
 
 from __future__ import annotations
@@ -20,6 +26,9 @@ import jax.numpy as jnp
 from vnl_tpu import physics
 from vnl_tpu.physics.model import GeomType, Model
 
+_LIGHT = np.array([-0.35, 0.4, 0.85])
+_LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
 
 def _look_at(eye, target, up=(0.0, 0.0, 1.0)):
     eye = np.asarray(eye, np.float64)
@@ -27,10 +36,136 @@ def _look_at(eye, target, up=(0.0, 0.0, 1.0)):
     f = target - eye
     f = f / np.linalg.norm(f)
     r = np.cross(f, np.asarray(up, np.float64))
-    r /= np.linalg.norm(r)
+    n = np.linalg.norm(r)
+    if n < 1e-9:  # looking straight up/down: pick any horizontal right
+        r = np.array([1.0, 0.0, 0.0])
+    else:
+        r = r / n
     u = np.cross(r, f)
     R = np.stack([r, u, f])  # rows: right, up, forward
     return R, eye
+
+
+# -- analytic ray/geom intersections ----------------------------------------
+# All take ray origins O (N,3) and unit directions D (N,3) in the GEOM LOCAL
+# frame and return (t, normal_local) with t=inf on miss.  Only t >= tmin
+# counts (rays start at the camera).
+
+_TMIN = 1e-4
+_INF = np.inf
+
+
+def _quadratic(a, b, c):
+    """Smallest root >= _TMIN of a t^2 + 2 b t + c = 0, else inf."""
+    disc = b * b - a * c
+    ok = disc >= 0
+    sq = np.sqrt(np.where(ok, disc, 0.0))
+    t0 = (-b - sq) / a
+    t1 = (-b + sq) / a
+    t = np.where(t0 >= _TMIN, t0, t1)
+    return np.where(ok & (t >= _TMIN), t, _INF)
+
+
+def _finite(t):
+    """t with misses (inf) zeroed, for normal evaluation only — inf * 0 in
+    an unused lane would raise RuntimeWarnings and poison `@` products."""
+    return np.where(np.isfinite(t), t, 0.0)
+
+
+def _ray_sphere(O, D, radius):
+    b = np.einsum("ij,ij->i", D, O)
+    c = np.einsum("ij,ij->i", O, O) - radius * radius
+    t = _quadratic(1.0, b, c)
+    n = O + _finite(t)[:, None] * D
+    return t, n
+
+
+def _ray_ellipsoid(O, D, size):
+    s = np.asarray(size)
+    Os, Ds = O / s, D / s
+    a = np.einsum("ij,ij->i", Ds, Ds)
+    b = np.einsum("ij,ij->i", Ds, Os)
+    c = np.einsum("ij,ij->i", Os, Os) - 1.0
+    t = _quadratic(np.maximum(a, 1e-12), b, c)
+    hit = O + _finite(t)[:, None] * D
+    n = hit / (s * s)  # gradient of the implicit surface
+    return t, n
+
+
+def _ray_capped_cylinder(O, D, radius, half, spherical_caps):
+    """Cylinder of given radius along local z in [-half, half]; caps are
+    hemispheres (capsule) or flat discs (cylinder)."""
+    # side surface
+    a = D[:, 0] ** 2 + D[:, 1] ** 2
+    b = D[:, 0] * O[:, 0] + D[:, 1] * O[:, 1]
+    c = O[:, 0] ** 2 + O[:, 1] ** 2 - radius * radius
+    t_side = _quadratic(np.maximum(a, 1e-12), b, c)
+    z = O[:, 2] + _finite(t_side) * D[:, 2]
+    t_side = np.where(np.abs(z) <= half, t_side, _INF)
+    n_side = O + _finite(t_side)[:, None] * D
+    n_side = n_side * np.array([1.0, 1.0, 0.0])
+
+    t, n = t_side, n_side
+    if spherical_caps:
+        for sz in (-half, half):
+            cap = np.array([0.0, 0.0, sz])
+            tc, nc = _ray_sphere(O - cap, D, radius)
+            closer = tc < t
+            t = np.where(closer, tc, t)
+            n = np.where(closer[:, None], nc, n)
+    else:
+        dz = D[:, 2]
+        safe = np.where(np.abs(dz) > 1e-12, dz, 1.0)
+        for sz in (-half, half):
+            tc = (sz - O[:, 2]) / safe
+            px = O[:, 0] + tc * D[:, 0]
+            py = O[:, 1] + tc * D[:, 1]
+            ok = ((np.abs(dz) > 1e-12) & (tc >= _TMIN)
+                  & (px * px + py * py <= radius * radius))
+            tc = np.where(ok, tc, _INF)
+            closer = tc < t
+            t = np.where(closer, tc, t)
+            nc = np.broadcast_to(
+                np.array([0.0, 0.0, np.sign(sz)]), n.shape)
+            n = np.where(closer[:, None], nc, n)
+    return t, n
+
+
+def _ray_box(O, D, size):
+    """Slab method; normal is the axis of the entry face."""
+    s = np.asarray(size)
+    safe = np.where(np.abs(D) > 1e-12, D, 1e-12)
+    t1 = (-s - O) / safe
+    t2 = (s - O) / safe
+    tlo = np.minimum(t1, t2)
+    thi = np.maximum(t1, t2)
+    t_near = tlo.max(axis=1)
+    t_far = thi.min(axis=1)
+    axis = tlo.argmax(axis=1)
+    hit = (t_near <= t_far) & (t_far >= _TMIN)
+    # camera inside the box renders the exit face
+    t = np.where(t_near >= _TMIN, t_near, t_far)
+    t = np.where(hit, t, _INF)
+    n = np.zeros_like(O)
+    rows = np.arange(O.shape[0])
+    n[rows, axis] = -np.sign(D[rows, axis])
+    return t, n
+
+
+def _intersect_geom(O, D, gtype, size):
+    if gtype == int(GeomType.SPHERE):
+        return _ray_sphere(O, D, float(size[0]))
+    if gtype == int(GeomType.CAPSULE):
+        return _ray_capped_cylinder(O, D, float(size[0]), float(size[1]),
+                                    spherical_caps=True)
+    if gtype == int(GeomType.CYLINDER):
+        return _ray_capped_cylinder(O, D, float(size[0]), float(size[1]),
+                                    spherical_caps=False)
+    if gtype == int(GeomType.ELLIPSOID):
+        return _ray_ellipsoid(O, D, size)
+    if gtype == int(GeomType.BOX):
+        return _ray_box(O, D, size)
+    return np.full(O.shape[0], _INF), np.zeros_like(O)
 
 
 class SoftwareRenderer:
@@ -45,6 +180,76 @@ class SoftwareRenderer:
     def geom_poses(self, qpos: np.ndarray):
         d = self._fk(jnp.asarray(qpos))
         return np.asarray(d.geom_xpos), np.asarray(d.geom_xmat)
+
+    # -- rays ---------------------------------------------------------------
+    def _rays(self, R):
+        yy, xx = np.mgrid[: self.h, : self.w]
+        dirs_cam = np.stack([
+            (xx - self.w / 2) / self.focal,
+            -(yy - self.h / 2) / self.focal,
+            np.ones_like(xx, np.float64)], axis=-1)
+        dirs = dirs_cam @ R  # camera rows -> world
+        return dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+
+    def _geom_pixel_window(self, R, eye, center, rbound):
+        """Pixel-rect covering the geom's projected bounding sphere, or
+        None when fully off-screen/behind the camera."""
+        pc = R @ (center - eye)
+        z = pc[2]
+        if z + rbound <= 1e-3:
+            return None
+        z = max(z, 1e-3)
+        u = self.w / 2 + self.focal * pc[0] / z
+        v = self.h / 2 - self.focal * pc[1] / z
+        pr = self.focal * rbound / z + 2.0
+        x0, x1 = int(max(0, u - pr)), int(min(self.w, u + pr + 1))
+        y0, y1 = int(max(0, v - pr)), int(min(self.h, v + pr + 1))
+        if x0 >= x1 or y0 >= y1:
+            return None
+        return x0, x1, y0, y1
+
+    # -- passes ---------------------------------------------------------------
+    def _cast_instance(self, dirs, eye, gx, gm, into_t, into_n, into_g):
+        """Nearest geom hit per pixel for one model instance, written into
+        (into_t, into_n, into_g) in place."""
+        m = self.m
+        R, _ = self._Reye
+        for g in range(m.ngeom):
+            gt = int(m.geom_type[g])
+            if gt == int(GeomType.PLANE):
+                continue
+            size = np.asarray(m.geom_size)[g]
+            rbound = float(np.asarray(m.geom_rbound)[g])
+            win = self._geom_pixel_window(R, eye, gx[g], rbound)
+            if win is None:
+                continue
+            x0, x1, y0, y1 = win
+            D = dirs[y0:y1, x0:x1].reshape(-1, 3)
+            Rg = gm[g]
+            Dl = D @ Rg  # world->local (columns of Rg are local axes)
+            Ol = np.broadcast_to((eye - gx[g]) @ Rg, Dl.shape)
+            t, n_local = _intersect_geom(Ol, Dl, gt, size)
+            sub_t = into_t[y0:y1, x0:x1].reshape(-1)
+            closer = t < sub_t
+            if not closer.any():
+                continue
+            n_world = n_local @ Rg.T
+            tt = np.where(closer, t, sub_t)
+            into_t[y0:y1, x0:x1] = tt.reshape(y1 - y0, x1 - x0)
+            sub_n = into_n[y0:y1, x0:x1].reshape(-1, 3)
+            sub_n = np.where(closer[:, None], n_world, sub_n)
+            into_n[y0:y1, x0:x1] = sub_n.reshape(y1 - y0, x1 - x0, 3)
+            sub_g = into_g[y0:y1, x0:x1].reshape(-1)
+            into_g[y0:y1, x0:x1] = np.where(closer, g, sub_g).reshape(
+                y1 - y0, x1 - x0)
+
+    @staticmethod
+    def _shade(normals, base_color):
+        n = normals / np.maximum(
+            np.linalg.norm(normals, axis=-1, keepdims=True), 1e-9)
+        lam = np.clip(n @ _LIGHT, 0.0, 1.0)
+        shade = 0.45 + 0.55 * lam
+        return shade[..., None] * np.asarray(base_color) * 255.0
 
     def render(self, qpos_list: Sequence[np.ndarray],
                camera_pos: Optional[np.ndarray] = None,
@@ -65,116 +270,67 @@ class SoftwareRenderer:
             scale = max(0.3, float(np.max(np.abs(m.geom_rbound)) * 10))
             camera_pos = root0 + np.array([scale, -scale, 0.6 * scale])
         R, eye = _look_at(camera_pos, camera_target)
+        self._Reye = (R, eye)
+        dirs = self._rays(R)
 
+        # background + checkerboard ground into the z-buffer
         img = np.full((self.h, self.w, 3), 255, np.float32)
-        depth = np.full((self.h, self.w), np.inf, np.float32)
-        self._draw_ground(img, depth, R, eye)
+        depth = np.full((self.h, self.w), _INF)
+        self._draw_ground(img, depth, dirs, eye)
 
         default_colors = [(0.85, 0.45, 0.25), (0.4, 0.6, 0.9),
                           (0.5, 0.8, 0.5)]
-        prims = []
-        for inst, qpos in enumerate(qpos_list):
-            gx, gm = self.geom_poses(np.asarray(qpos))
-            color = np.array((colors[inst] if colors else
-                              default_colors[inst % 3]))
-            alpha = (alphas[inst] if alphas else (1.0 if inst == 0 else 0.45))
-            for g in range(m.ngeom):
-                gt = int(m.geom_type[g])
-                if gt == int(GeomType.PLANE):
-                    continue
-                size = np.asarray(m.geom_size)[g]
-                pos = gx[g]
-                if gt == int(GeomType.SPHERE):
-                    prims.append(("sphere", pos, size[0], color, alpha))
-                elif gt in (int(GeomType.CAPSULE), int(GeomType.CYLINDER)):
-                    axis = gm[g][:, 2] * size[1]
-                    prims.append(("capsule", (pos - axis, pos + axis),
-                                  size[0], color, alpha))
-                elif gt == int(GeomType.ELLIPSOID):
-                    prims.append(("sphere", pos, float(np.mean(size)), color,
-                                  alpha))
-                elif gt == int(GeomType.BOX):
-                    prims.append(("sphere", pos, float(np.linalg.norm(size)),
-                                  color, alpha))
+        poses = [self.geom_poses(np.asarray(q)) for q in qpos_list]
+        inst_alpha = [(alphas[i] if alphas else (1.0 if i == 0 else 0.45))
+                      for i in range(len(qpos_list))]
+        inst_color = [np.array(colors[i] if colors else
+                               default_colors[i % 3])
+                      for i in range(len(qpos_list))]
 
-        # painter's order: far to near
-        def cam_depth(p):
-            return float(R[2] @ (np.asarray(p) - eye))
+        # opaque pass (all instances with alpha >= 1) -> depth buffer
+        for i, (gx, gm) in enumerate(poses):
+            if inst_alpha[i] < 1.0:
+                continue
+            t = np.full((self.h, self.w), _INF)
+            n = np.zeros((self.h, self.w, 3))
+            gid = np.zeros((self.h, self.w), np.int32)
+            self._cast_instance(dirs, eye, gx, gm, t, n, gid)
+            closer = t < depth
+            depth = np.where(closer, t, depth)
+            shaded = self._shade(n, inst_color[i])
+            img[closer] = shaded[closer]
 
-        def key(prim):
-            kind, p, *_ = prim
-            c = p if kind == "sphere" else 0.5 * (p[0] + p[1])
-            return -cam_depth(c)
+        # translucent passes blend against the opaque depth buffer
+        for i, (gx, gm) in enumerate(poses):
+            a = inst_alpha[i]
+            if a >= 1.0:
+                continue
+            t = np.full((self.h, self.w), _INF)
+            n = np.zeros((self.h, self.w, 3))
+            gid = np.zeros((self.h, self.w), np.int32)
+            self._cast_instance(dirs, eye, gx, gm, t, n, gid)
+            vis = t < depth
+            shaded = self._shade(n, inst_color[i])
+            img[vis] = (1 - a) * img[vis] + a * shaded[vis]
 
-        for kind, p, r, color, alpha in sorted(prims, key=key):
-            if kind == "sphere":
-                self._draw_sphere(img, R, eye, p, r, color, alpha)
-            else:
-                self._draw_capsule(img, R, eye, p[0], p[1], r, color, alpha)
         return np.clip(img, 0, 255).astype(np.uint8)
 
-    # -- primitive rasterization ------------------------------------------
-    def _project(self, R, eye, pts):
-        pc = (np.atleast_2d(pts) - eye) @ R.T  # (N, 3): x right, y up, z fwd
-        z = np.maximum(pc[:, 2], 1e-4)
-        u = self.w / 2 + self.focal * pc[:, 0] / z
-        v = self.h / 2 - self.focal * pc[:, 1] / z
-        return u, v, z
-
-    def _shade(self, img, mask, color, alpha, shade=1.0):
-        c = np.clip(np.asarray(color) * shade, 0, 1) * 255
-        img[mask] = (1 - alpha) * img[mask] + alpha * c
-
-    def _draw_sphere(self, img, R, eye, center, radius, color, alpha):
-        u, v, z = self._project(R, eye, center)
-        if z[0] <= 1e-3:
-            return
-        pr = self.focal * radius / z[0]
-        yy, xx = np.ogrid[: self.h, : self.w]
-        d2 = (xx - u[0]) ** 2 + (yy - v[0]) ** 2
-        mask = d2 <= pr ** 2
-        if mask.any():
-            shade = 0.55 + 0.45 * np.clip(1 - np.sqrt(
-                np.maximum(d2[mask], 0)) / max(pr, 1e-6), 0, 1)
-            c = np.asarray(color) * 255
-            img[mask] = ((1 - alpha) * img[mask]
-                         + alpha * shade[:, None] * c[None, :])
-
-    def _draw_capsule(self, img, R, eye, a, b, radius, color, alpha):
-        ua, va, za = self._project(R, eye, a)
-        ub, vb, zb = self._project(R, eye, b)
-        if za[0] <= 1e-3 and zb[0] <= 1e-3:
-            return
-        zmid = 0.5 * (za[0] + zb[0])
-        pr = self.focal * radius / max(zmid, 1e-4)
-        yy, xx = np.ogrid[: self.h, : self.w]
-        # distance from pixel to 2d segment
-        ax, ay, bx, by = ua[0], va[0], ub[0], vb[0]
-        abx, aby = bx - ax, by - ay
-        denom = abx * abx + aby * aby + 1e-9
-        t = np.clip(((xx - ax) * abx + (yy - ay) * aby) / denom, 0, 1)
-        dx = xx - (ax + t * abx)
-        dy = yy - (ay + t * aby)
-        mask = dx * dx + dy * dy <= pr ** 2
-        self._shade(img, mask, color, alpha, shade=0.8)
-
-    def _draw_ground(self, img, depth, R, eye, cell: float = 0.1):
-        """Checkerboard ground plane z=0 by per-pixel ray casting."""
-        yy, xx = np.mgrid[: self.h, : self.w]
-        dirs_cam = np.stack([
-            (xx - self.w / 2) / self.focal,
-            -(yy - self.h / 2) / self.focal,
-            np.ones_like(xx, np.float64)], axis=-1)
-        dirs = dirs_cam @ R  # world
+    def _draw_ground(self, img, depth, dirs, eye, cell: float = 0.1):
+        """Checkerboard ground plane z=0 by per-pixel ray casting.  px/py
+        are only evaluated at finite t (an inf*0 at the horizon produced
+        NaN RuntimeWarnings and latent NaN pixels in round 3)."""
         dz = dirs[..., 2]
-        t = np.where(dz < -1e-6, -eye[2] / np.where(dz < -1e-6, dz, -1.0),
-                     np.inf)
-        hit = np.isfinite(t)
-        px = eye[0] + t * dirs[..., 0]
-        py = eye[1] + t * dirs[..., 1]
-        checker = ((np.floor(px / cell) + np.floor(py / cell)) % 2).astype(bool)
+        downward = dz < -1e-6
+        t = np.where(downward, -eye[2] / np.where(downward, dz, -1.0), _INF)
+        hit = downward & (t >= _TMIN)
+        ts = np.where(hit, t, 0.0)  # finite placeholder where unused
+        px = eye[0] + ts * dirs[..., 0]
+        py = eye[1] + ts * dirs[..., 1]
+        checker = ((np.floor(px / cell) + np.floor(py / cell)) % 2
+                   ).astype(bool)
         base = np.where(checker[..., None], 210.0, 235.0)
         img[hit] = np.broadcast_to(base, img.shape)[hit]
+        depth[hit] = t[hit]
 
 
 def render_egocentric(model: Model, qpos: np.ndarray,

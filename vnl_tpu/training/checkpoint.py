@@ -38,6 +38,44 @@ def save(checkpoint_dir: str, step: int, training_state: Any) -> str:
     return path
 
 
+_pending_save: "threading.Thread | None" = None
+
+
+def save_async(checkpoint_dir: str, step: int, host_state: Any) -> None:
+    """Writes a checkpoint on a background thread so the trainer overlaps
+    the disk write with the next training interval.  ``host_state`` MUST
+    already be host-resident (``jax.device_get``) — the caller owns the
+    device buffers and may donate them while the write is in flight.  At
+    most one save is in flight; a new save joins the previous one first
+    (writes stay ordered, memory stays bounded)."""
+    global _pending_save
+    import threading
+
+    if _pending_save is not None:
+        _pending_save.join()
+
+    def _write():
+        try:
+            save(checkpoint_dir, step, host_state)
+        except Exception:  # pragma: no cover - surfaced via logs, not raise
+            import logging
+            import traceback
+            logging.error("async checkpoint save at step %s failed:\n%s",
+                          step, traceback.format_exc())
+
+    _pending_save = threading.Thread(target=_write, daemon=True,
+                                     name=f"ckpt-save-{step}")
+    _pending_save.start()
+
+
+def wait_for_pending_saves() -> None:
+    """Joins any in-flight async checkpoint write (call before exit)."""
+    global _pending_save
+    if _pending_save is not None:
+        _pending_save.join()
+        _pending_save = None
+
+
 def restore(path: str, target: Any) -> Any:
     """Restores a TrainingState saved by :func:`save` into ``target``'s
     structure."""

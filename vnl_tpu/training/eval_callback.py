@@ -61,6 +61,9 @@ class EvalCallback:
             state = env.reset(reset_key)
             start_frame = jnp.asarray(
                 state.info.get("cur_frame", 0), jnp.int32)
+            # multi-clip envs sample a clip per episode; the overlay must
+            # render the clip THIS rollout tracked (clip_id -1 = single-clip)
+            clip_id = jnp.asarray(state.info.get("clip_id", -1), jnp.int32)
 
             def body(carry, _):
                 state, rng = carry
@@ -81,7 +84,7 @@ class EvalCallback:
                 return (state, rng), out
 
             _, traj = jax.lax.scan(body, (state, rng), (), length=length)
-            return start_frame, traj
+            return start_frame, clip_id, traj
 
         return rollout
 
@@ -90,7 +93,7 @@ class EvalCallback:
         ckpt_lib.save_params(
             os.path.join(self._model_path, str(num_steps)), params)
 
-        start_frame, traj = jax.device_get(
+        start_frame, clip_id, traj = jax.device_get(
             self._rollout(params, jax.random.PRNGKey(self._calls)))
         rtrunk = np.asarray(traj["rtrunk"], np.float64)
         rewards = np.asarray(traj["reward"], np.float64)
@@ -120,11 +123,11 @@ class EvalCallback:
             # guard: rendering must never fall behind training)
             if self._pending_render is None or self._pending_render.done():
                 qpos = np.asarray(traj["qpos"])
-                sf = int(start_frame)
+                sf, cid = int(start_frame), int(clip_id)
 
                 def _job():
                     try:
-                        return self._render_overlay(qpos, sf, num_steps)
+                        return self._render_overlay(qpos, sf, num_steps, cid)
                     except Exception as e:  # never kill training
                         return f"render-error: {e}"
 
@@ -188,11 +191,12 @@ class EvalCallback:
                 step=num_steps)
         return out
 
-    def _resolve_ref_clip(self):
+    def _resolve_ref_clip(self, clip_id: int = -1):
         """The single-clip envs store the clip under different names
         (_ref_traj in humanoid/ant, _ref_clip in rodent); multi-clip envs
-        expose _get_clip(info).  Round-2 bug: only _ref_traj was checked,
-        so the flagship rodent env never rendered during training."""
+        expose _get_clip(info) keyed by the clip_id the eval episode
+        actually sampled (round-3 bug: _get_clip({}) KeyError'd for the
+        multi-clip env, silently disabling its overlay)."""
         env = self._env
         for name in ("_ref_traj", "_ref_clip"):
             ref = getattr(env, name, None)
@@ -201,16 +205,16 @@ class EvalCallback:
         getter = getattr(env, "_get_clip", None)
         if getter is not None:
             try:
-                return getter({})
+                return getter({"clip_id": max(clip_id, 0)})
             except Exception:
                 return None
         return None
 
     def _render_overlay(self, qpos_rollout: np.ndarray, start_frame: int,
-                        num_steps: int) -> Optional[str]:
+                        num_steps: int, clip_id: int = -1) -> Optional[str]:
         from vnl_tpu.render import render_overlay_video
         env = self._env
-        ref = self._resolve_ref_clip()
+        ref = self._resolve_ref_clip(clip_id)
         if ref is None:
             return None
         T = qpos_rollout.shape[0]

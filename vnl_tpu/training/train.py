@@ -46,6 +46,8 @@ from vnl_tpu.training.losses import PPONetworkParams
 _AXIS = "data"
 # Unroll factor for the minibatch SGD scan (see learn_on_batch).
 _SGD_UNROLL = int(os.environ.get("VNL_TPU_SGD_UNROLL", "16"))
+if _SGD_UNROLL < 1:
+    raise ValueError(f"VNL_TPU_SGD_UNROLL={_SGD_UNROLL} must be >= 1")
 
 
 @struct.dataclass
@@ -299,49 +301,56 @@ def train(
                    ("UNAVAILABLE", "INTERNAL", "device error",
                     "DEADLINE_EXCEEDED", "ABORTED"))
 
-    def run_interval(ts, env_state, rng):
+    def run_interval(ts, env_state, rng, ts_snapshot):
         """Covers one eval interval (steps_per_interval training steps) by
-        repeatedly invoking the jitted program.  Because programs donate
-        their inputs, a host snapshot of the (small) TrainingState is taken
-        ONCE at interval start (a per-program device_get costs a host
-        round-trip through the TPU relay every ~60-100 steps — measured
-        part of the bench-vs-steady-state gap); on a recoverable device
-        fault the snapshot is restored, the program cap is halved (adaptive
-        back-off — CLAUDE.md UNAVAILABLE incidents), envs are re-reset, and
-        the INTERVAL RESTARTS from the snapshot.  Hangs (no exception)
+        repeatedly invoking the jitted program — ASYNC: every program in the
+        interval is enqueued without a host sync (dispatch is futures-only;
+        programs chain through donated buffers on device) and the host
+        blocks ONCE at interval end.  Per-program device_get/block was a TPU
+        relay round-trip every ~100 training steps and the main
+        bench-vs-steady-state gap (VERDICT r3 §weak-1).
+
+        ``ts_snapshot`` is the host copy of ``ts`` taken at the interval
+        boundary by the caller (shared with checkpointing).  On a
+        recoverable device fault — which now surfaces at the single sync
+        point or at a later dispatch — the snapshot is restored, the program
+        cap is halved (adaptive back-off, CLAUDE.md UNAVAILABLE incidents),
+        envs are re-reset, and the INTERVAL RESTARTS.  Hangs (no exception)
         remain the watchdog's job (tools/train_resilient.sh)."""
         nonlocal training_walltime, program_cap, _inject_faults
         t0 = time.time()
-        stats_acc = []
-        steps_done, retries = 0, 0
-        scan_len = None
-        ts_snapshot = jax.device_get(ts)
-        while steps_done < steps_per_interval:
-            if scan_len is None:
+        retries = 0
+        while True:  # one iteration per interval attempt
+            try:
                 # even split under the cap (may overshoot the interval by a
                 # few steps, like round 2's schedule) so every program in
                 # the interval shares ONE compiled length.
-                remaining = steps_per_interval - steps_done
-                n_prog = int(np.ceil(remaining / program_cap))
-                scan_len = int(np.ceil(remaining / n_prog))
-            rng, program_rng = jax.random.split(rng)
-            program_keys = put_sharded_rows(
-                jax.random.split(program_rng, jax.local_device_count()))
-            try:
-                if _inject_faults > 0:
-                    _inject_faults -= 1
-                    raise RuntimeError(
-                        "UNAVAILABLE: injected test device fault")
-                ts, env_state, stats = get_program(scan_len)(
-                    ts, env_state, program_keys)
-                jax.tree_util.tree_map(
-                    lambda x: x.block_until_ready(), stats)
+                n_prog = int(np.ceil(steps_per_interval / program_cap))
+                scan_len = int(np.ceil(steps_per_interval / n_prog))
+                stats_acc = []
+                steps_done = 0
+                attempt_rng = rng
+                while steps_done < steps_per_interval:
+                    attempt_rng, program_rng = jax.random.split(attempt_rng)
+                    program_keys = put_sharded_rows(jax.random.split(
+                        program_rng, jax.local_device_count()))
+                    if _inject_faults > 0:
+                        _inject_faults -= 1
+                        raise RuntimeError(
+                            "UNAVAILABLE: injected test device fault")
+                    ts, env_state, stats = get_program(scan_len)(
+                        ts, env_state, program_keys)
+                    stats_acc.append(stats)
+                    steps_done += scan_len
+                # the ONE host sync per interval; device faults from any
+                # enqueued program surface here (or at a dispatch above)
+                stats_host = jax.device_get(stats_acc)
+                break
             except Exception as e:  # noqa: BLE001 — classified below
                 if not _is_device_fault(e) or retries >= _MAX_FAULT_RETRIES:
                     raise
                 retries += 1
                 program_cap = max(10, program_cap // 2)
-                scan_len = None  # recompute the schedule at the new cap
                 logging.warning(
                     "device fault (%s...); backing program cap off to %d "
                     "and restarting the interval (%d/%d)", str(e)[:120],
@@ -349,11 +358,6 @@ def train(
                 rng, reset_key = jax.random.split(rng)
                 ts = jax.device_put(ts_snapshot, replicated)
                 env_state = fresh_env_state(reset_key)
-                steps_done = 0
-                stats_acc = []
-                continue
-            steps_done += scan_len
-            stats_acc.append(jax.device_get(stats))
         elapsed = time.time() - t0
         training_walltime += elapsed
         sps = steps_done * steps_per_training_step / elapsed
@@ -361,8 +365,8 @@ def train(
             "training/sps": sps,
             "training/walltime": training_walltime,
             **{f"training/{name}": float(np.mean([np.asarray(s[name])
-                                                  for s in stats_acc]))
-               for name in stats_acc[0]},
+                                                  for s in stats_host]))
+               for name in stats_host[0]},
         }
         return ts, env_state, metrics
 
@@ -398,13 +402,19 @@ def train(
         progress_fn(0, metrics)
 
     current_step = 0
+    # one host copy of the TrainingState per interval BOUNDARY, shared by
+    # the fault-recovery snapshot and the (async) checkpoint write — the
+    # relay round-trip for ~the params 3x over is the dominant per-interval
+    # host cost, so it is paid once, not twice.
+    host_state = jax.device_get(training_state)
     for interval in range(intervals):
         logging.info("starting interval %s t=%.1fs", interval,
                      time.time() - start_walltime)
         proc_key, interval_key = jax.random.split(proc_key)
         training_state, env_state, training_metrics = run_interval(
-            training_state, env_state, interval_key)
-        current_step = int(np.asarray(training_state.env_steps))
+            training_state, env_state, interval_key, host_state)
+        host_state = jax.device_get(training_state)
+        current_step = int(np.asarray(host_state.env_steps))
 
         if process_id == 0:
             params = (training_state.normalizer_params,
@@ -415,8 +425,13 @@ def train(
             policy_params_fn(current_step, make_policy, params)
             if checkpoint_dir is not None:
                 from vnl_tpu.training import checkpoint
-                checkpoint.save(checkpoint_dir, current_step, training_state)
+                # host_state is already a host copy: the disk write happens
+                # on a background thread, overlapped with the next interval
+                checkpoint.save_async(checkpoint_dir, current_step,
+                                      host_state)
 
+    from vnl_tpu.training import checkpoint
+    checkpoint.wait_for_pending_saves()
     assert current_step >= num_timesteps
     mesh_lib.assert_is_replicated(training_state)
     params = (training_state.normalizer_params, training_state.params.policy)
