@@ -38,9 +38,26 @@ def test_kernel_matches_reference(setup):
     names = ("xpos", "xquat", "xmat", "xipos", "xanchor", "xaxis",
              "geom_xpos", "geom_xmat", "subtree_com", "cinert", "cdof",
              "qM")
+    assert len(out_pal) in (len(names) + 1, len(names) + 2)
     for n, r, p in zip(names, out_ref, out_pal):
         np.testing.assert_allclose(np.asarray(p), np.asarray(r),
                                    rtol=2e-5, atol=2e-5, err_msg=n)
+    # fused in-kernel sweep inverses vs the reference Schur inverses: both
+    # are fp32 inverses of an ill-conditioned matrix, so compare relative
+    # to the inverse's own scale
+    for n, r, p in zip(("qMinv", "qMhBinv"), out_ref[len(names):],
+                       out_pal[len(names):]):
+        r, p = np.asarray(r), np.asarray(p)
+        scale = np.abs(r).max()
+        np.testing.assert_allclose(p, r, rtol=5e-3, atol=1e-4 * scale,
+                                   err_msg=n)
+        # and they actually invert qM / (qM + h diag(B))
+        qm = np.asarray(out_pal[11])
+        A = qm if n == "qMinv" else qm + np.diag(
+            np.asarray(m.opt.timestep * np.asarray(m.dof_damping)))
+        eye = np.eye(qm.shape[-1])
+        resid = np.einsum("bij,bjk->bik", A, p) - eye
+        assert np.abs(resid).max() < 5e-3, (n, np.abs(resid).max())
 
 
 def test_forward_fused_position_end_to_end(setup, monkeypatch):

@@ -44,11 +44,12 @@ fused = pp.make_position_fused(m, fmod._position_reference(m)[1],
 
 def apply_kernel(d):
     (xpos, xquat, xmat, xipos, xanchor, xaxis, gxp, gxm, scom,
-     cinert, cdof, qM) = fused(d.qpos)
+     cinert, cdof, qM, *invs) = fused(d.qpos)
     return d.replace(xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,
                      xanchor=xanchor, xaxis=xaxis, geom_xpos=gxp,
                      geom_xmat=gxm, subtree_com=scom, cinert=cinert,
-                     cdof=cdof, qM=qM)
+                     cdof=cdof, qM=qM, qMinv=invs[0],
+                     qMhBinv=invs[1] if len(invs) > 1 else invs[0])
 
 
 def s_kernel(dd):
@@ -56,13 +57,13 @@ def s_kernel(dd):
 
 
 def s_inv(dd):
-    dd = apply_kernel(dd)
-    return imod.invert_mass_matrix(m, dd)
+    # historical stage: the sweep inverse now rides inside the kernel, so
+    # the marginal here should be ~0
+    return apply_kernel(dd)
 
 
 def s_collide(dd):
     dd = apply_kernel(dd)
-    dd = imod.invert_mass_matrix(m, dd)
     con_dist, con_pos, con_frame, con_pair = cmod.collide(m, dd)
     return dd.replace(contact_dist=con_dist, contact_pos=con_pos,
                       contact_frame=con_frame)

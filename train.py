@@ -42,7 +42,25 @@ def build_env(cfg, for_eval=False):
             env_args["clip_length"] - env_args.get("ref_traj_length", 5))
         # eval runs whole clips: never sample curriculum horizons here
         env_args["min_sub_clip_length"] = None
-    if name in ("rodent", "rodent_multiclip"):
+    if name == "rodent_multiclip":
+        # chunk the recording into clip_length-frame clips, one ClipLibrary
+        # entry each (mocap_preprocess.py:343-376 ClipCollection end-to-end)
+        import numpy as np
+
+        from vnl_tpu import mjcf
+        from vnl_tpu.data.pipeline import process_recording
+
+        clip = load_clip(env_cfg["clip_path"])
+        qpos = np.concatenate([np.asarray(clip.position),
+                               np.asarray(clip.quaternion),
+                               np.asarray(clip.joints)], axis=1)
+        model = mjcf.load_model(env_args["mjcf_path"],
+                                rescale=(env_args["scale_factor"],) * 2,
+                                torque_actuators=True)
+        lib = process_recording(model, qpos,
+                                clip_length=env_args["clip_length"])
+        return envs_lib.get_environment(name, clip_library=lib, **env_args)
+    if name == "rodent":
         if env_cfg.get("stac_path"):
             clip = process_clip(
                 stac_path=env_cfg["stac_path"],

@@ -63,7 +63,7 @@ _PACK = {
              "sub_m_inv"),
     "c_geom": ("geom_pos", "geom_quat"),
     "c_nv": ("m_dof_freet", "m_dof_lrot", "m_dof_hinge", "m_dof_slide",
-             "m_axis", "eye_rows", "armature"),
+             "m_axis", "eye_rows", "armature", "hB"),
 }
 
 
@@ -221,16 +221,18 @@ def _statics(m):
         eye_rows=np.eye(3, dtype=f32)[axis_idx],
         mask_l=mask_l, mask_u=mask_l.T.copy(),
         armature=np.asarray(m.dof_armature, f32)[:, None],
+        hB=np.asarray(m.opt.timestep * np.asarray(m.dof_damping),
+                      f32)[:, None],
     )
 
 
-def _position_kernel(st, colmap, qpos_ref, *refs):
+def _position_kernel(st, colmap, damped, qpos_ref, *refs):
     nb, nj, nv, nq, ngeom, Nn, n_rounds = st["dims"]
     big = dict(zip(_BIG, refs[:len(_BIG)]))
     groups = dict(zip(_PACK, refs[len(_BIG):len(_BIG) + len(_PACK)]))
     (xpos_ref, xquat_ref, xmat_ref, xipos_ref, xanchor_ref, xaxis_ref,
-     gxpos_ref, gxmat_ref, scom_ref, cinert_ref, cdof_ref,
-     qM_ref) = refs[len(_BIG) + len(_PACK):]
+     gxpos_ref, gxmat_ref, scom_ref, cinert_ref, cdof_ref, qM_ref,
+     *inv_refs) = refs[len(_BIG) + len(_PACK):]
 
     f32 = jnp.float32
     hi = jax.lax.Precision.HIGHEST
@@ -403,7 +405,52 @@ def _position_kernel(st, colmap, qpos_ref, *refs):
     # i==j  <=>  i ancestor-or-self of j AND j ancestor-or-self of i
     diag_c = (T("mask_l") * T("mask_u"))[:, :, None]
     arm = cvec("armature")[:, 0][:, None, None]
-    qM_ref[:] = maskL * low + maskU * up + diag_c * (arm - low)
+    qM = maskL * low + maskU * up + diag_c * (arm - low)
+    qM_ref[:] = qM
+
+    # ---- fused mass-matrix inverse(s): in-VMEM symmetric sweep ----------
+    # Same Gauss-Jordan sweep as ops/pallas_linalg._sweep_kernel, run here
+    # so qMinv (and the implicit-damping (M + h diag(B))^-1 when the model
+    # is damped) come out of the SAME launch — no qM HBM round-trip, no
+    # lanes<->batch transposes, no second kernel (round-4: the separate
+    # stacked sweep was +0.9 ms/substep at B=1024).
+    eye2 = (jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (nv, nv, 1), 1)
+            ).astype(f32)
+
+    def sweep_into(ref, A):
+        # Jacobi scaling A~ = S A S cuts the condition number the sweep
+        # sees (diag extracted by a MAJOR-axis reduction — Mosaic rejects
+        # sublane-axis reductions feeding consumers)
+        diag = jnp.sum(A * eye2, axis=0)                      # (nv, L)
+        s = jax.lax.rsqrt(jnp.maximum(diag, 1e-30))
+        ref[:] = A * s[:, None, :] * s[None, :, :]
+
+        def body(k, carry):
+            col = ref[:, pl.ds(k, 1), :]                      # (nv, 1, L)
+            row = ref[pl.ds(k, 1), :, :]                      # (1, nv, L)
+            dkk = ref[pl.ds(k, 1), pl.ds(k, 1), :]            # (1, 1, L)
+            dinv = 1.0 / dkk
+            ei = (jax.lax.broadcasted_iota(jnp.int32, (nv, 1, 1), 0)
+                  == k).astype(f32)
+            ej = (jax.lax.broadcasted_iota(jnp.int32, (1, nv, 1), 1)
+                  == k).astype(f32)
+            v = col - ei
+            w_ = (row - ej) * dinv
+            ref[:] = ref[:] - v * w_
+            # the rank-1 form over-counts the pivot by exactly 2
+            ref[pl.ds(k, 1), pl.ds(k, 1), :] = (
+                ref[pl.ds(k, 1), pl.ds(k, 1), :] - 2.0)
+            return carry
+
+        jax.lax.fori_loop(0, nv, body, jnp.int32(0))
+        ref[:] = -ref[:] * s[:, None, :] * s[None, :, :]
+
+    if inv_refs:
+        sweep_into(inv_refs[0], qM)
+        if damped:
+            hb = cvec("hB")[:, 0][:, None, None]
+            sweep_into(inv_refs[1], qM + eye2 * hb)
 
     # ---- write component outputs ----
     for k in range(3):
@@ -434,7 +481,8 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     Per-env signature: qpos (nq,) -> (xpos (nb,3), xquat (nb,4),
     xmat (nb,3,3), xipos (nb,3), xanchor (njnt,3), xaxis (njnt,3),
     geom_xpos (ngeom,3), geom_xmat (ngeom,3,3), subtree_com (nb,3),
-    cinert (nb,6,6), cdof (nv,6), qM (nv,nv)).
+    cinert (nb,6,6), cdof (nv,6), qM (nv,nv), qMinv (nv,nv)
+    [, qMhBinv (nv,nv) when the model needs implicit damping]).
     reference_fn: the per-env XLA pipeline with the same signature (also
     the unbatched/CPU fallback and test oracle).
     """
@@ -443,10 +491,13 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     if hit is not None:
         return hit[1]
 
+    from vnl_tpu.physics.inertia import _needs_implicit_damping
+    damped = _needs_implicit_damping(m)
+
     st = _statics(m)
     nb, nj, nv, nq, ngeom, _, _ = st["dims"]
     packed, colmap = _pack(st)
-    kernel = functools.partial(_position_kernel, st, colmap)
+    kernel = functools.partial(_position_kernel, st, colmap, damped)
     # keep numpy here: make_position_fused is typically first called
     # INSIDE a jit trace, and any jax conversion there creates tracers that
     # must not be cached across traces (convert per call in lanes_call).
@@ -462,7 +513,10 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
         ((ngeom, 3), (ngeom, 3)), ((ngeom, 9), (ngeom, 3, 3)),
         ((nb, 3), (nb, 3)), ((nb, 36), (nb, 6, 6)), ((nv, 6), (nv, 6)),
         ((nv, nv), (nv, nv)),
-    ]
+        # fused mass-matrix inverses: qMinv, plus (M + h diag(B))^-1 for
+        # damped models (see _position_kernel.sweep_into)
+        ((nv, nv), (nv, nv)),
+    ] + ([((nv, nv), (nv, nv))] if damped else [])
 
     def lanes_call(qpos_l):
         b = qpos_l.shape[-1]

@@ -58,19 +58,32 @@ _POS_REF_CACHE: dict = {}
 
 def _position_reference(m: Model):
     """Per-env XLA position stage with the fused kernel's flat signature
-    (also its test oracle and small-batch/CPU fallback)."""
+    (also its test oracle and small-batch/CPU fallback).  The trailing
+    outputs are the mass-matrix inverse(s) the kernel now sweeps in-launch:
+    qMinv, plus (M + h diag(B))^-1 when the model is damped."""
     hit = _POS_REF_CACHE.get(id(m))
     if hit is not None:
         return hit
+
+    from vnl_tpu.ops.linalg import inv_spd
+
+    damped = _inertia._needs_implicit_damping(m)
 
     def ref(qpos):
         d = make_data(m, qpos=qpos, dtype=qpos.dtype)
         d = _kinematics.kinematics(m, d)
         d = _kinematics.com_pos(m, d)
         qM = _inertia.assemble_qM(m, d)
-        return (d.xpos, d.xquat, d.xmat, d.xipos, d.xanchor, d.xaxis,
+        outs = [d.xpos, d.xquat, d.xmat, d.xipos, d.xanchor, d.xaxis,
                 d.geom_xpos, d.geom_xmat, d.subtree_com, d.cinert,
-                d.cdof, qM)
+                d.cdof, qM]
+        if damped:
+            hB = (m.opt.timestep * m.dof_damping).astype(qpos.dtype)
+            inv = inv_spd(jnp.stack([qM, qM + jnp.diag(hB)]))
+            outs += [inv[0], inv[1]]
+        else:
+            outs += [inv_spd(qM)]
+        return tuple(outs)
 
     _POS_REF_CACHE[id(m)] = (m, ref)  # hold m: id() must stay unique
     return _POS_REF_CACHE[id(m)]
@@ -83,12 +96,13 @@ def fwd_position(m: Model, d: Data, refine_inverse: bool = False):
             m, _position_reference(m)[1],
             interpret=jax.default_backend() != "tpu")
         (xpos, xquat, xmat, xipos, xanchor, xaxis, gxp, gxm, scom,
-         cinert, cdof, qM) = fused(d.qpos)
+         cinert, cdof, qM, *invs) = fused(d.qpos)
         d = d.replace(xpos=xpos, xquat=xquat, xmat=xmat, xipos=xipos,
                       xanchor=xanchor, xaxis=xaxis, geom_xpos=gxp,
                       geom_xmat=gxm, subtree_com=scom, cinert=cinert,
-                      cdof=cdof, qM=qM)
-        d = _inertia.invert_mass_matrix(m, d, refine_inverse)
+                      cdof=cdof, qM=qM,
+                      qMinv=invs[0],
+                      qMhBinv=invs[1] if len(invs) > 1 else invs[0])
     else:
         d = _kinematics.kinematics(m, d)
         d = _kinematics.com_pos(m, d)

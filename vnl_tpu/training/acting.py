@@ -98,6 +98,16 @@ class Evaluator:
                 out[f"eval/episode_{name}"] = per_episode
         out["eval/avg_episode_length"] = float(
             np.mean(np.asarray(tallies.episode_steps)))
+        # multi-clip envs: per-clip episode reward (clip_id is stable per
+        # episode — the AutoReset info snapshot restores it), so a clip the
+        # policy fails on is visible instead of averaged away
+        clip_ids = state.info.get("clip_id")
+        if clip_ids is not None and aggregate_episodes:
+            ids = np.asarray(clip_ids)
+            rew = np.asarray(tallies.episode_metrics["reward"])
+            for cid in np.unique(ids):
+                out[f"eval/episode_reward_clip{int(cid)}"] = float(
+                    np.mean(rew[ids == cid]))
         out["eval/epoch_eval_time"] = elapsed
         out["eval/sps"] = self._episode_steps / elapsed
         return out

@@ -301,22 +301,41 @@ def train(
                    ("UNAVAILABLE", "INTERNAL", "device error",
                     "DEADLINE_EXCEEDED", "ABORTED"))
 
-    def run_interval(ts, env_state, rng, ts_snapshot):
+    _copy_state = jax.jit(
+        lambda ts: jax.tree_util.tree_map(lambda x: x + 0, ts),
+        donate_argnums=())
+
+    def snapshot_device(ts):
+        """On-device copy of the TrainingState (a ~20 MB HBM copy, ~us) and
+        an async D2H transfer started immediately.  The copy is never
+        donated, so it survives the interval's donating programs; the D2H
+        overlaps the interval instead of stalling it (a SYNCHRONOUS
+        device_get of the state through the TPU relay measured ~15 s —
+        ~25% of a 150-step interval, the round-3/4 bench-vs-in-program
+        gap)."""
+        snap = _copy_state(ts)
+        for leaf in jax.tree_util.tree_leaves(snap):
+            if hasattr(leaf, "copy_to_host_async"):
+                leaf.copy_to_host_async()
+        return snap
+
+    def run_interval(ts, env_state, rng, snap_dev):
         """Covers one eval interval (steps_per_interval training steps) by
         repeatedly invoking the jitted program — ASYNC: every program in the
         interval is enqueued without a host sync (dispatch is futures-only;
         programs chain through donated buffers on device) and the host
         blocks ONCE at interval end.  Per-program device_get/block was a TPU
-        relay round-trip every ~100 training steps and the main
-        bench-vs-steady-state gap (VERDICT r3 §weak-1).
+        relay round-trip every ~100 training steps (VERDICT r3 §weak-1).
 
-        ``ts_snapshot`` is the host copy of ``ts`` taken at the interval
-        boundary by the caller (shared with checkpointing).  On a
-        recoverable device fault — which now surfaces at the single sync
-        point or at a later dispatch — the snapshot is restored, the program
-        cap is halved (adaptive back-off, CLAUDE.md UNAVAILABLE incidents),
-        envs are re-reset, and the INTERVAL RESTARTS.  Hangs (no exception)
-        remain the watchdog's job (tools/train_resilient.sh)."""
+        ``snap_dev`` is the caller's DEVICE-side copy of ``ts`` at the
+        interval boundary.  On a recoverable device fault — which surfaces
+        at the single sync point or at a later dispatch — the state is
+        re-copied from the device snapshot (kept intact for further
+        retries), the program cap is halved (adaptive back-off, CLAUDE.md
+        UNAVAILABLE incidents), envs are re-reset, and the INTERVAL
+        RESTARTS.  Faults that corrupt device memory kill the process and
+        are the watchdog + orbax-resume path's job
+        (tools/train_resilient.sh), as are hangs (no exception)."""
         nonlocal training_walltime, program_cap, _inject_faults
         t0 = time.time()
         retries = 0
@@ -356,7 +375,7 @@ def train(
                     "and restarting the interval (%d/%d)", str(e)[:120],
                     program_cap, retries, _MAX_FAULT_RETRIES)
                 rng, reset_key = jax.random.split(rng)
-                ts = jax.device_put(ts_snapshot, replicated)
+                ts = _copy_state(snap_dev)  # snap stays live for retry 2+
                 env_state = fresh_env_state(reset_key)
         elapsed = time.time() - t0
         training_walltime += elapsed
@@ -402,19 +421,20 @@ def train(
         progress_fn(0, metrics)
 
     current_step = 0
-    # one host copy of the TrainingState per interval BOUNDARY, shared by
-    # the fault-recovery snapshot and the (async) checkpoint write — the
-    # relay round-trip for ~the params 3x over is the dominant per-interval
-    # host cost, so it is paid once, not twice.
-    host_state = jax.device_get(training_state)
+    # The fault-recovery snapshot lives ON DEVICE (snapshot_device); its
+    # host copy streams down in the background and is consumed one interval
+    # LATE as the checkpoint payload — so the slow relay D2H never blocks
+    # the training loop.  Checkpoints therefore trail live progress by one
+    # eval interval (the resume path loses at most one interval's work).
     for interval in range(intervals):
         logging.info("starting interval %s t=%.1fs", interval,
                      time.time() - start_walltime)
         proc_key, interval_key = jax.random.split(proc_key)
+        snap_dev = snapshot_device(training_state)
         training_state, env_state, training_metrics = run_interval(
-            training_state, env_state, interval_key, host_state)
-        host_state = jax.device_get(training_state)
-        current_step = int(np.asarray(host_state.env_steps))
+            training_state, env_state, interval_key, snap_dev)
+        # post-interval step count: a scalar fetch, not the 20 MB state
+        current_step = int(jax.device_get(training_state.env_steps))
 
         if process_id == 0:
             params = (training_state.normalizer_params,
@@ -423,14 +443,22 @@ def train(
             logging.info(metrics)
             progress_fn(current_step, metrics)
             policy_params_fn(current_step, make_policy, params)
-            if checkpoint_dir is not None:
+            if checkpoint_dir is not None and interval > 0:
                 from vnl_tpu.training import checkpoint
-                # host_state is already a host copy: the disk write happens
-                # on a background thread, overlapped with the next interval
-                checkpoint.save_async(checkpoint_dir, current_step,
+                # the D2H started at interval BEGIN has had the whole
+                # interval to finish; this device_get just collects it
+                host_state = jax.device_get(snap_dev)
+                checkpoint.save_async(checkpoint_dir,
+                                      int(np.asarray(host_state.env_steps)),
                                       host_state)
+        del snap_dev
 
     from vnl_tpu.training import checkpoint
+    if checkpoint_dir is not None and process_id == 0:
+        # final full-state checkpoint (the in-loop saves trail by one
+        # interval); this one synchronous D2H is the run's last act
+        checkpoint.save_async(checkpoint_dir, current_step,
+                              jax.device_get(training_state))
     checkpoint.wait_for_pending_saves()
     assert current_step >= num_timesteps
     mesh_lib.assert_is_replicated(training_state)
