@@ -327,9 +327,13 @@ class SoftwareRenderer:
         px = eye[0] + ts * dirs[..., 0]
         py = eye[1] + ts * dirs[..., 1]
         checker = ((np.floor(px / cell) + np.floor(py / cell)) % 2
-                   ).astype(bool)
-        base = np.where(checker[..., None], 210.0, 235.0)
-        img[hit] = np.broadcast_to(base, img.shape)[hit]
+                   ).astype(np.float64)
+        # fade the pattern out with distance: one ground cell shrinks below
+        # a pixel near the horizon and the raw checker aliases into moiré
+        fade = 1.0 / (1.0 + (ts / (80.0 * cell)) ** 2)
+        shade_val = 235.0 - (235.0 - 210.0) * checker * fade
+        base = np.repeat(shade_val[..., None], 3, axis=-1)
+        img[hit] = base[hit]
         depth[hit] = t[hit]
 
 
