@@ -159,3 +159,42 @@ def test_fault_recovery_restarts_interval(monkeypatch):
     assert "eval/episode_reward" in metrics
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(params))
+
+
+def test_evaluator_per_clip_rewards():
+    """Multi-clip eval reports per-clip episode reward (eval/episode_
+    reward_clipK), keyed by the clip ids the eval episodes sampled."""
+    import functools
+    import yaml
+
+    from vnl_tpu.data.io import load_clip
+    from vnl_tpu.data.reference_clip import ClipLibrary
+    from vnl_tpu.training import acting
+
+    cfg = yaml.safe_load(open(
+        "/root/repo/configs/env_config.yaml"))["env"]
+    clip = load_clip("/root/reference/clips/transform_snips_groom.p")
+    clip2 = jax.tree_util.tree_map(
+        lambda x: None if x is None else x[::-1], clip)
+    lib = ClipLibrary.from_clips([clip, clip2])
+    env = envs.get_environment("rodent_multiclip", clip_library=lib,
+                               **cfg["env_args"])
+    wrapped = envs.wrap_for_training(env, episode_length=4)
+
+    state = jax.jit(wrapped.reset)(jax.random.split(jax.random.PRNGKey(0), 8))
+    net = models.make_intention_ppo_networks(
+        state.info["traj"].shape[-1], state.obs.shape[-1], env.action_size,
+        encoder_layer_sizes=(32,), decoder_layer_sizes=(32,),
+        value_hidden_layer_sizes=(32,))
+    params = (None, net.policy_network.init(jax.random.PRNGKey(1)))
+    make_policy = models.make_inference_fn(net)
+
+    evaluator = acting.Evaluator(
+        wrapped, functools.partial(make_policy, deterministic=True),
+        num_eval_envs=8, episode_length=4, action_repeat=1,
+        key=jax.random.PRNGKey(2))
+    out = evaluator.run_evaluation(params, training_metrics={})
+    per_clip = [k for k in out if k.startswith("eval/episode_reward_clip")]
+    assert per_clip, out.keys()
+    for k in per_clip:
+        assert np.isfinite(out[k])
