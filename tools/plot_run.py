@@ -4,7 +4,10 @@ Two stacked panels (never dual-axis): eval episode reward and eval episode
 length over environment steps.  Single series per panel, direct panel
 titles, recessive grid.
 
-Usage: python tools/plot_run.py [logs/metrics_XXXX.jsonl] [out.png]
+Usage: python tools/plot_run.py [metrics.jsonl[,more.jsonl,...]] [out.png]
+Multiple comma-separated JSONLs are stitched by step (resilient-trainer
+attempts each open a fresh run id; rows are merged and sorted, later
+files win on duplicate steps).
 """
 
 import json
@@ -26,15 +29,19 @@ def latest_metrics():
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else latest_metrics()
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/learning_curve.png"
-    steps, reward, length = [], [], []
-    for line in open(path):
-        d = json.loads(line)
-        if "eval/episode_reward" in d:
-            steps.append(d.get("_step", len(steps)))
-            reward.append(d["eval/episode_reward"])
-            length.append(d.get("eval/avg_episode_length", 0.0))
-    if not reward:
+    by_step = {}
+    for i, p in enumerate(path.split(",")):
+        for line in open(p):
+            d = json.loads(line)
+            if "eval/episode_reward" in d:
+                by_step[d.get("_step", len(by_step))] = (
+                    d["eval/episode_reward"],
+                    d.get("eval/avg_episode_length", 0.0))
+    if not by_step:
         raise SystemExit(f"no eval rows in {path}")
+    steps = sorted(by_step)
+    reward = [by_step[s][0] for s in steps]
+    length = [by_step[s][1] for s in steps]
     # fall back to eval index when steps weren't logged per row
     if all(s == steps[0] for s in steps):
         steps = list(range(len(reward)))
