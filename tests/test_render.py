@@ -81,3 +81,28 @@ def test_jit_egocentric_camera():
     assert np.isfinite(imgs).all() and imgs.min() >= 0 and imgs.max() <= 1
     assert imgs[0].std() > 0.01          # sees structure, not a constant
     assert np.abs(imgs[0] - imgs[1]).max() > 0.01  # pose-dependent
+
+
+def test_numpy_fk_matches_engine():
+    """The renderer's host numpy FK must match the engine's jitted FK
+    (it exists so render threads never dispatch to the accelerator)."""
+    import jax
+    import jax.numpy as jnp
+    from vnl_tpu import physics
+    from vnl_tpu.render.software import numpy_fk
+
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True)
+    rng = np.random.default_rng(3)
+    qpos = np.asarray(m.qpos0).copy()
+    qpos[:3] += 0.1 * rng.standard_normal(3)
+    q = rng.standard_normal(4)
+    qpos[3:7] = q / np.linalg.norm(q)
+    qpos[7:] += 0.2 * rng.standard_normal(qpos[7:].shape)
+
+    d = jax.jit(lambda q: physics.kinematics(
+        m, physics.make_data(m, qpos=q)))(jnp.asarray(qpos, jnp.float32))
+    xpos, xquat, gxpos, gxmat = numpy_fk(m, qpos)
+    np.testing.assert_allclose(xpos, np.asarray(d.xpos), atol=1e-5)
+    np.testing.assert_allclose(gxpos, np.asarray(d.geom_xpos), atol=1e-5)
+    np.testing.assert_allclose(gxmat, np.asarray(d.geom_xmat), atol=1e-5)

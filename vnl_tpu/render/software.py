@@ -20,14 +20,105 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
-
-from vnl_tpu import physics
-from vnl_tpu.physics.model import GeomType, Model
+from vnl_tpu.physics.model import GeomType, JointType, Model
 
 _LIGHT = np.array([-0.35, 0.4, 0.85])
 _LIGHT = _LIGHT / np.linalg.norm(_LIGHT)
+
+
+# -- pure-numpy forward kinematics -------------------------------------------
+# The renderer runs on a WORKER THREAD of the training process; a jitted FK
+# there dispatches tiny programs to the TPU where they queue behind (and can
+# destabilize) multi-minute training programs — and with JAX_PLATFORMS
+# pinned to the TPU backend there is no CPU jax device to hide on.  Host
+# numpy FK over ~65 bodies is microseconds and keeps rendering completely
+# off the accelerator.
+
+
+def _np_qmul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.array([aw * bw - ax * bx - ay * by - az * bz,
+                     aw * bx + ax * bw + ay * bz - az * by,
+                     aw * by - ax * bz + ay * bw + az * bx,
+                     aw * bz + ax * by - ay * bx + az * bw])
+
+
+def _np_qrot(q, v):
+    w = q[0]
+    u = q[1:]
+    t = np.cross(u, v)
+    return v + 2.0 * (w * t + np.cross(u, t))
+
+
+def _np_q2mat(q):
+    w, x, y, z = q
+    return np.array([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def _np_norm(q):
+    return q / max(np.linalg.norm(q), 1e-12)
+
+
+def numpy_fk(m: Model, qpos: np.ndarray):
+    """Host FK: qpos -> (xpos (nb,3), xquat (nb,4), geom_xpos, geom_xmat).
+
+    Same semantics as physics.kinematics (mj_kinematics): parent offset,
+    then the body's joints applied in its local frame (hinge/slide deltas
+    are relative to qpos0)."""
+    qpos = np.asarray(qpos, np.float64)
+    qpos0 = np.asarray(m.qpos0, np.float64)
+    body_pos = np.asarray(m.body_pos, np.float64)
+    body_quat = np.asarray(m.body_quat, np.float64)
+    jnt_pos = np.asarray(m.jnt_pos, np.float64)
+    jnt_axis = np.asarray(m.jnt_axis, np.float64)
+    nb = m.nbody
+    xpos = np.zeros((nb, 3))
+    xquat = np.zeros((nb, 4))
+    xquat[0, 0] = 1.0
+    for b in range(1, nb):
+        p = int(m.body_parentid[b])
+        pos = xpos[p] + _np_qrot(xquat[p], body_pos[b])
+        quat = _np_qmul(xquat[p], body_quat[b])
+        adr, num = int(m.body_jntadr[b]), int(m.body_jntnum[b])
+        for j in range(adr, adr + num):
+            jt = int(m.jnt_type[j])
+            qa = int(m.jnt_qposadr[j])
+            if jt == int(JointType.FREE):
+                pos = qpos[qa:qa + 3].copy()
+                quat = _np_norm(qpos[qa + 3:qa + 7])
+            elif jt == int(JointType.BALL):
+                q_loc = _np_norm(qpos[qa:qa + 4])
+                pos = pos + _np_qrot(quat,
+                                     jnt_pos[j] - _np_qrot(q_loc, jnt_pos[j]))
+                quat = _np_qmul(quat, q_loc)
+            elif jt == int(JointType.SLIDE):
+                pos = pos + _np_qrot(quat, jnt_axis[j]
+                                     * (qpos[qa] - qpos0[qa]))
+            else:  # HINGE
+                half = 0.5 * (qpos[qa] - qpos0[qa])
+                q_loc = np.concatenate([[np.cos(half)],
+                                        np.sin(half) * jnt_axis[j]])
+                pos = pos + _np_qrot(quat,
+                                     jnt_pos[j] - _np_qrot(q_loc, jnt_pos[j]))
+                quat = _np_qmul(quat, q_loc)
+        xpos[b] = pos
+        xquat[b] = _np_norm(quat)
+
+    ng = m.ngeom
+    geom_pos = np.asarray(m.geom_pos, np.float64)
+    geom_quat = np.asarray(m.geom_quat, np.float64)
+    gxpos = np.zeros((ng, 3))
+    gxmat = np.zeros((ng, 3, 3))
+    for g in range(ng):
+        b = int(m.geom_bodyid[g])
+        gxpos[g] = xpos[b] + _np_qrot(xquat[b], geom_pos[g])
+        gxmat[g] = _np_q2mat(_np_qmul(xquat[b], geom_quat[g]))
+    return xpos, xquat, gxpos, gxmat
 
 
 def _look_at(eye, target, up=(0.0, 0.0, 1.0)):
@@ -174,12 +265,10 @@ class SoftwareRenderer:
         self.m = model
         self.w, self.h = width, height
         self.focal = 0.5 * height / np.tan(np.deg2rad(fovy) / 2)
-        self._fk = jax.jit(lambda q: physics.kinematics(
-            model, physics.make_data(model, qpos=q)))
 
     def geom_poses(self, qpos: np.ndarray):
-        d = self._fk(jnp.asarray(qpos))
-        return np.asarray(d.geom_xpos), np.asarray(d.geom_xmat)
+        _, _, gxpos, gxmat = numpy_fk(self.m, np.asarray(qpos))
+        return gxpos, gxmat
 
     # -- rays ---------------------------------------------------------------
     def _rays(self, R):
@@ -346,10 +435,10 @@ def render_egocentric(model: Model, qpos: np.ndarray,
     observable).  Host-side (offline analysis / visualization, like the
     reference's dm_control camera — not a training observation)."""
     r = renderer or SoftwareRenderer(model, width, height, fovy=90.0)
-    d = r._fk(np.asarray(qpos))
+    xpos, xquat, _, _ = numpy_fk(model, np.asarray(qpos))
     bid = model.body_names.index(body_name)
-    pos = np.asarray(d.xpos)[bid]
-    fwd = np.asarray(d.xmat)[bid][:, 0]  # body x-axis
+    pos = xpos[bid]
+    fwd = _np_q2mat(xquat[bid])[:, 0]  # body x-axis
     return r.render([np.asarray(qpos)], camera_pos=pos + 0.02 * fwd,
                     camera_target=pos + forward_offset * fwd)
 
