@@ -258,7 +258,8 @@ def main():
         raise SystemExit(_probe())
 
     me = os.path.abspath(__file__)
-    probe_s = int(os.environ.get("VNL_BENCH_PROBE_SECONDS", "240"))
+    probe_s = int(os.environ.get("VNL_BENCH_PROBE_SECONDS", "420"))
+    t_probe = time.time()
     try:
         p = subprocess.run([sys.executable, me, "--probe"],
                            capture_output=True, text=True, timeout=probe_s)
@@ -270,6 +271,16 @@ def main():
         print("# probe hung %ds: relay dead" % probe_s, flush=True)
         _publish_last_good("relay probe hung (dead relay)")
         return
+    t_probe = time.time() - t_probe
+    # A slow-but-alive relay (degraded nights: the probe matmul compiles in
+    # minutes, not seconds) multiplies every compile in the attempt; 1500 s
+    # then dies inside compilation before a single measured interval
+    # (round-4 night: probe 312 s, attempt 1 all-compile).  Scale the
+    # attempt budget with the observed probe time.
+    attempt_default = 2700 if t_probe > 90 else 1500
+    if t_probe > 30:
+        print(f"# slow relay: probe took {t_probe:.0f}s; attempt budget "
+              f"{attempt_default}s", flush=True)
 
     baselines = _read_baselines()
     best_line, best_val, best_mode = None, 0.0, None
@@ -279,7 +290,7 @@ def main():
                 [sys.executable, me, "--inner"],
                 capture_output=True, text=True,
                 timeout=int(os.environ.get("VNL_BENCH_ATTEMPT_SECONDS",
-                                           "1500")))
+                                           str(attempt_default))))
         except subprocess.TimeoutExpired:
             print(f"# attempt {attempt + 1} hung; retrying", flush=True)
             continue
