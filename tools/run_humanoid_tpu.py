@@ -68,7 +68,7 @@ try:
     ax[1].set_ylabel("avg episode length")
     fig.suptitle("HumanoidTracking (synthetic stand clip, TPU)")
     fig.tight_layout()
-    fig.savefig("logs/curve_r3_humanoid.png", dpi=120)
-    print("curve written logs/curve_r3_humanoid.png", flush=True)
+    fig.savefig("logs/curve_r4_humanoid_tpu.png", dpi=120)
+    print("curve written logs/curve_r4_humanoid_tpu.png", flush=True)
 except Exception as e:  # pragma: no cover
     print("plot skipped:", e, flush=True)
