@@ -276,8 +276,10 @@ def main():
     # minutes, not seconds) multiplies every compile in the attempt; 1500 s
     # then dies inside compilation before a single measured interval
     # (round-4 night: probe 312 s, attempt 1 all-compile).  Scale the
-    # attempt budget with the observed probe time.
-    attempt_default = 2700 if t_probe > 90 else 1500
+    # attempt budget proportionally with the observed probe time (a 420 s
+    # probe is ~30x a healthy one and needs ~30x compile headroom), capped
+    # so three attempts still fit a night window.
+    attempt_default = max(1500, min(int(10 * t_probe), 5400))
     if t_probe > 30:
         print(f"# slow relay: probe took {t_probe:.0f}s; attempt budget "
               f"{attempt_default}s", flush=True)

@@ -8,14 +8,18 @@
 #   4) TPU-vs-CPU numerics     (golden fixture;       VERDICT r3 #6)
 # Everything sequential (TPU is exclusively held), each under timeout,
 # artifacts into logs/ so they can be committed as each step lands.
+# ADVICE r4 fixes: bench timeout raised above bench.py's own worst-case
+# self-budget (420s probe + 2700s+ attempt), and every stage gets a
+# SIGKILL backstop (-k 30) because orbax/async threads swallowed SIGTERM
+# on the r4 night and stages overlapped on the exclusive TPU.
 set -u
 cd "$(dirname "$0")/.."
 
 echo "=== [1/4] bench ($(date -u +%H:%M)) ==="
-timeout 1800 python bench.py 2>&1 | grep -v WARNING | tail -4
+timeout -k 30 3600 python bench.py 2>&1 | grep -v WARNING | tail -4
 
 echo "=== [2/4] multi-clip run ($(date -u +%H:%M)) ==="
-timeout 2100 python train.py \
+timeout -k 30 2100 python train.py \
   env.name=rodent_multiclip env.env_args.clip_length=125 \
   env.env_args.sub_clip_length=100 env.env_args.min_sub_clip_length=5 \
   train.episode_length=100 train.num_envs=1024 \
@@ -24,11 +28,11 @@ timeout 2100 python train.py \
   2>&1 | grep -v WARNING | tee logs/train_r4_multiclip.log | tail -30
 
 echo "=== [3/4] humanoid TPU run ($(date -u +%H:%M)) ==="
-timeout 1500 python tools/run_humanoid_tpu.py 40000000 1024 \
+timeout -k 30 1500 python tools/run_humanoid_tpu.py 40000000 1024 \
   2>&1 | grep -v WARNING | tee logs/train_r4_humanoid_tpu.log | tail -20
 
 echo "=== [4/4] TPU numerics check ($(date -u +%H:%M)) ==="
-timeout 1200 python tools/check_tpu_numerics.py 2>&1 | grep -v WARNING \
+timeout -k 30 1200 python tools/check_tpu_numerics.py 2>&1 | grep -v WARNING \
   | tee logs/tpu_numerics_r4.log
 
 echo "=== night window done ($(date -u +%H:%M)) ==="

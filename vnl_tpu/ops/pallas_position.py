@@ -226,7 +226,12 @@ def _statics(m):
     )
 
 
-def _position_kernel(st, colmap, damped, qpos_ref, *refs):
+def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
+    """Kernel body.  ``cap`` (perf-bisect only, via make_position_fused
+    stage_cap) truncates the computation after stage ``cap`` and zero-fills
+    the remaining outputs: 0 = FK through extraction, 1 = +geoms/subtree
+    com, 2 = +cinert, 3 = +crb/cdof, 4 = +qM assembly, 5 = +qMinv sweep,
+    6 = full (both sweeps).  Production always runs with cap=None (=6)."""
     nb, nj, nv, nq, ngeom, Nn, n_rounds = st["dims"]
     big = dict(zip(_BIG, refs[:len(_BIG)]))
     groups = dict(zip(_PACK, refs[len(_BIG):len(_BIG) + len(_PACK)]))
