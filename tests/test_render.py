@@ -106,3 +106,53 @@ def test_numpy_fk_matches_engine():
     np.testing.assert_allclose(xpos, np.asarray(d.xpos), atol=1e-5)
     np.testing.assert_allclose(gxpos, np.asarray(d.geom_xpos), atol=1e-5)
     np.testing.assert_allclose(gxmat, np.asarray(d.geom_xmat), atol=1e-5)
+
+
+def test_skin_parse_and_pose():
+    """SKN binary parse + skinning semantics (reference assets/rodent.xml
+    <skin file=...>; rendered by reference train.py:310-328)."""
+    from vnl_tpu.render.skin import bone_body_ids, load_skn, skin_vertices
+    from vnl_tpu.render.software import numpy_fk
+
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True)
+    assert m.skin_file and m.skin_file.endswith(".skn")
+    skin = load_skn(m.skin_file)
+    assert skin.verts.shape[1] == 3 and skin.faces.shape[1] == 3
+    assert skin.faces.max() < skin.verts.shape[0]
+    # weights normalized per vertex
+    np.testing.assert_allclose(skin.weights.sum(axis=1), 1.0, atol=1e-4)
+    # every bone names a real body
+    bids = bone_body_ids(skin, m.body_names)
+    assert (bids > 0).all()
+
+    xpos, xquat, _, _ = numpy_fk(m, np.asarray(m.qpos0))
+    verts = skin_vertices(skin, bids, xpos, xquat)
+    # the posed hide must wrap the skeleton: centroid near body centroid,
+    # extent within ~2x the skeleton's bounding box
+    assert np.linalg.norm(verts.mean(0) - xpos[1:].mean(0)) < 0.1
+    ext_v = verts.max(0) - verts.min(0)
+    ext_b = xpos.max(0) - xpos.min(0) + 1e-3
+    assert (ext_v < 2.5 * ext_b + 0.2).all()
+
+
+def test_skin_render_overlay():
+    """Skinned instance rasterizes into the z-buffered frame."""
+    from vnl_tpu.render.skin import load_skn
+    from vnl_tpu.render.software import SoftwareRenderer
+
+    m = mjcf.load_model("/root/reference/assets/rodent.xml",
+                        rescale=(0.9, 0.9), torque_actuators=True)
+    skin = load_skn(m.skin_file, scale=0.9)
+    r_skin = SoftwareRenderer(m, 160, 120, skin=skin)
+    r_geom = SoftwareRenderer(m, 160, 120)
+    q = np.asarray(m.qpos0)
+    img_s = r_skin.render([q])
+    img_g = r_geom.render([q])
+    assert img_s.shape == (120, 160, 3)
+    # the skin drew something, and something different from the geom pass
+    assert img_s.std() > 1.0
+    assert np.abs(img_s.astype(int) - img_g.astype(int)).mean() > 0.5
+    # "auto" resolves the model's skin_file
+    r_auto = SoftwareRenderer(m, 64, 48, skin="auto")
+    assert r_auto.skin is not None

@@ -692,6 +692,7 @@ class _Compiler:
             actuator_names=tuple(actuator_names),
             sensor_names=tuple(sensor_names),
             key_names=tuple(key_names),
+            skin_file=self.spec.skin_file,
             qpos0=arr(qpos0), qpos_spring=arr(qpos_spring),
             body_pos=arr(body_pos), body_quat=arr(body_quat),
             body_ipos=arr(body_ipos), body_iquat=arr(body_iquat),

@@ -66,6 +66,9 @@ class MjcfSpec:
     contact_excludes: List[MjcfElement]
     keyframes: List[MjcfElement]
     customs: Dict[str, np.ndarray]
+    # absolute path of a binary <skin file=.../> asset, if the model ships
+    # one (visual-only at runtime; consumed by render/skin.py)
+    skin_file: Optional[str] = None
 
     # -- default resolution ---------------------------------------------------
     def class_chain(self, clazz: Optional[str]) -> List[str]:
@@ -249,9 +252,11 @@ def _expand_replicates(spec: MjcfSpec) -> None:
 
 def parse(path_or_xml: str) -> MjcfSpec:
     """Parses an MJCF file path or XML string into a spec tree."""
+    base_dir = ""
     if os.path.exists(path_or_xml):
         tree = ET.parse(path_or_xml)
         root = tree.getroot()
+        base_dir = os.path.dirname(os.path.abspath(path_or_xml))
     else:
         root = ET.fromstring(path_or_xml)
     if root.tag != "mujoco":
@@ -269,6 +274,7 @@ def parse(path_or_xml: str) -> MjcfSpec:
     contact_excludes: List[MjcfElement] = []
     keyframes: List[MjcfElement] = []
     customs: Dict[str, np.ndarray] = {}
+    skin_file: Optional[str] = None
 
     def walk_top(node: ET.Element):
         nonlocal worldbody
@@ -317,7 +323,11 @@ def parse(path_or_xml: str) -> MjcfSpec:
                     sensors.append(_parse_element(sn, None))
             elif child.tag in ("asset", "visual", "statistic", "size",
                               "tendon", "equality", "deformable"):
-                pass  # visual / unused-by-runtime sections
+                # visual / unused-by-runtime sections; keep skin asset paths
+                nonlocal skin_file
+                for a in child:
+                    if a.tag == "skin" and a.get("file"):
+                        skin_file = os.path.join(base_dir, a.get("file"))
     walk_top(root)
 
     if worldbody is None:
@@ -337,6 +347,7 @@ def parse(path_or_xml: str) -> MjcfSpec:
         contact_excludes=contact_excludes,
         keyframes=keyframes,
         customs=customs,
+        skin_file=skin_file,
     )
     if spec.worldbody.find_all("replicate"):
         _expand_replicates(spec)

@@ -240,7 +240,6 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
      *inv_refs) = refs[len(_BIG) + len(_PACK):]
 
     f32 = jnp.float32
-    hi = jax.lax.Precision.HIGHEST
     qpos = qpos_ref[:]
     L = qpos.shape[-1]
 
@@ -250,8 +249,12 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
         return r[idx] if idx is not None else r[:]
 
     def mm(table, b, idx=None):
+        # (round-5 probe: a 3-pass bf16-split variant of this — exact for
+        # these 0/1 tables — measured SLOWER than HIGHEST, +0.17 ms on the
+        # FK front-end.  The front-end cost is not matmul passes.)
         return jnp.dot(T(table, idx) if isinstance(table, str) else table,
-                       b, preferred_element_type=f32, precision=hi)
+                       b, preferred_element_type=f32,
+                       precision=jax.lax.Precision.HIGHEST)
 
     def cvec(name, col=0):
         """One column of a packed per-row table, as (N, 1)."""
@@ -323,94 +326,112 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
     ipos = tuple(cvec("body_ipos", k) for k in range(3))
     xipos = tuple(a + b for a, b in zip(xpos, _qrot(xquat, ipos)))
 
-    # geoms
-    gq4 = tuple(mm("geom_oh", cmp) for cmp in xquat)
-    gp3 = tuple(mm("geom_oh", cmp) for cmp in xpos)
-    gpos_l = tuple(cvec("geom_pos", k) for k in range(3))
-    gquat_l = tuple(cvec("geom_quat", k) for k in range(4))
-    gxpos = tuple(a + b for a, b in zip(gp3, _qrot(gq4, gpos_l)))
-    gxmat = _q2mat(_qmul(gq4, gquat_l))
-
-    # subtree com / per-body origin
-    massc = cvec("mass")
-    scom = tuple(mm("sub_mask", massc * cmp)
-                 * cvec("sub_m_inv") for cmp in xipos)
-    origin = tuple(mm("root_oh", cmp) for cmp in scom)
-
-    # ---- cinert: spatial inertia of each body about its origin ----
-    iq = _qmul(xquat, tuple(cvec("body_iquat", k) for k in range(4)))
-    R = _q2mat(iq)
-    Id = [cvec("body_inertia", k) for k in range(3)]
-
-    def IC(i, j):
-        return (R[3 * i] * Id[0] * R[3 * j]
-                + R[3 * i + 1] * Id[1] * R[3 * j + 1]
-                + R[3 * i + 2] * Id[2] * R[3 * j + 2])
-
-    cvs = tuple(a - b for a, b in zip(xipos, origin))
-    cdot = cvs[0] * cvs[0] + cvs[1] * cvs[1] + cvs[2] * cvs[2]
-    eps = {(0, 1): -cvs[2], (0, 2): cvs[1], (1, 0): cvs[2],
-           (1, 2): -cvs[0], (2, 0): -cvs[1], (2, 1): cvs[0]}
+    run = (lambda s: cap is None or cap >= s)  # perf-bisect stage gate
     zero_b = jnp.zeros((nb, L), f32)
+    zero_g = jnp.zeros((ngeom, L), f32)
+    zero_v = jnp.zeros((nv, L), f32)
+    massc = cvec("mass")
 
-    cin = {}
-    for i in range(3):
-        for j in range(3):
-            # top-left: IC + m*(cx cx^T) = IC + m*((c.c)I - c c^T)
-            d = cdot if i == j else 0.0
-            cin[(i, j)] = IC(i, j) + massc * (d - cvs[i] * cvs[j])
-            tr = eps.get((i, j))
-            cin[(i, j + 3)] = massc * tr if tr is not None else zero_b
-            cin[(j + 3, i)] = cin[(i, j + 3)]
-            cin[(i + 3, j + 3)] = (massc * jnp.ones((nb, L), f32)
-                                   if i == j else zero_b)
+    if run(1):
+        # geoms
+        gq4 = tuple(mm("geom_oh", cmp) for cmp in xquat)
+        gp3 = tuple(mm("geom_oh", cmp) for cmp in xpos)
+        gpos_l = tuple(cvec("geom_pos", k) for k in range(3))
+        gquat_l = tuple(cvec("geom_quat", k) for k in range(4))
+        gxpos = tuple(a + b for a, b in zip(gp3, _qrot(gq4, gpos_l)))
+        gxmat = _q2mat(_qmul(gq4, gquat_l))
 
-    # ---- crb subtree sums + qM assembly ----
-    crb = {k: mm("sub_mask", v) for k, v in cin.items()}
+        # subtree com / per-body origin
+        scom = tuple(mm("sub_mask", massc * cmp)
+                     * cvec("sub_m_inv") for cmp in xipos)
+        origin = tuple(mm("root_oh", cmp) for cmp in scom)
+    else:
+        gxpos, gxmat = (zero_g,) * 3, (zero_g,) * 9
+        scom, origin = (zero_b,) * 3, (zero_b,) * 3
 
-    # cdof
-    anchor_d = tuple(mm("dof_jnt_oh", cmp) for cmp in xanchor)
-    hinge_ax = tuple(mm("dof_jnt_oh", cmp) for cmp in xaxis)
-    org_d = tuple(mm("dof_body_oh", cmp) for cmp in origin)
-    local_ax = []
-    for i in range(3):
-        acc = jnp.zeros((nv, L), f32)
-        for a in range(3):
-            acc = acc + cvec("m_axis", a) * mm(
-                "dof_body_oh", xmat[3 * i + a])
-        local_ax.append(acc)
-    mdh = cvec("m_dof_hinge")
-    mdl = cvec("m_dof_lrot")
-    mdf = cvec("m_dof_freet")
-    mds = cvec("m_dof_slide")
-    w = tuple(mdh * h + mdl * l for h, l in zip(hinge_ax, local_ax))
-    rel = tuple(o - a for o, a in zip(org_d, anchor_d))
-    lin_rot = _cross(w, rel)
-    eye_r = [cvec("eye_rows", k) for k in range(3)]
-    lin = tuple(mdf * e + mds * h + (1 - mdf - mds) * lr
-                for e, h, lr in zip(eye_r, hinge_ax, lin_rot))
-    cdof6 = w + lin
+    if run(2):
+        # ---- cinert: spatial inertia of each body about its origin ----
+        iq = _qmul(xquat, tuple(cvec("body_iquat", k) for k in range(4)))
+        R = _q2mat(iq)
+        Id = [cvec("body_inertia", k) for k in range(3)]
 
-    # F_i = crb[body(dof)] row i . cdof
-    Fc = []
-    for i in range(6):
-        acc = jnp.zeros((nv, L), f32)
-        for j in range(6):
-            acc = acc + mm("dof_body_oh", crb[(i, j)]) * cdof6[j]
-        Fc.append(acc)
+        def IC(i, j):
+            return (R[3 * i] * Id[0] * R[3 * j]
+                    + R[3 * i + 1] * Id[1] * R[3 * j + 1]
+                    + R[3 * i + 2] * Id[2] * R[3 * j + 2])
 
-    # qM = maskL.(F ox cdof) + maskU.(cdof ox F) - diag correction + armature
-    maskL = T("mask_l")[:, :, None]
-    maskU = T("mask_u")[:, :, None]
-    low = jnp.zeros((nv, nv, L), f32)
-    up = jnp.zeros((nv, nv, L), f32)
-    for k in range(6):
-        low = low + Fc[k][:, None, :] * cdof6[k][None, :, :]
-        up = up + cdof6[k][:, None, :] * Fc[k][None, :, :]
-    # i==j  <=>  i ancestor-or-self of j AND j ancestor-or-self of i
-    diag_c = (T("mask_l") * T("mask_u"))[:, :, None]
-    arm = cvec("armature")[:, 0][:, None, None]
-    qM = maskL * low + maskU * up + diag_c * (arm - low)
+        cvs = tuple(a - b for a, b in zip(xipos, origin))
+        cdot = cvs[0] * cvs[0] + cvs[1] * cvs[1] + cvs[2] * cvs[2]
+        eps = {(0, 1): -cvs[2], (0, 2): cvs[1], (1, 0): cvs[2],
+               (1, 2): -cvs[0], (2, 0): -cvs[1], (2, 1): cvs[0]}
+
+        cin = {}
+        for i in range(3):
+            for j in range(3):
+                # top-left: IC + m*(cx cx^T) = IC + m*((c.c)I - c c^T)
+                d = cdot if i == j else 0.0
+                cin[(i, j)] = IC(i, j) + massc * (d - cvs[i] * cvs[j])
+                tr = eps.get((i, j))
+                cin[(i, j + 3)] = massc * tr if tr is not None else zero_b
+                cin[(j + 3, i)] = cin[(i, j + 3)]
+                cin[(i + 3, j + 3)] = (massc * jnp.ones((nb, L), f32)
+                                       if i == j else zero_b)
+    else:
+        cin = {(i, j): zero_b for i in range(6) for j in range(6)}
+
+    if run(3):
+        # ---- crb subtree sums + qM assembly ----
+        crb = {k: mm("sub_mask", v) for k, v in cin.items()}
+
+        # cdof
+        anchor_d = tuple(mm("dof_jnt_oh", cmp) for cmp in xanchor)
+        hinge_ax = tuple(mm("dof_jnt_oh", cmp) for cmp in xaxis)
+        org_d = tuple(mm("dof_body_oh", cmp) for cmp in origin)
+        local_ax = []
+        for i in range(3):
+            acc = jnp.zeros((nv, L), f32)
+            for a in range(3):
+                acc = acc + cvec("m_axis", a) * mm(
+                    "dof_body_oh", xmat[3 * i + a])
+            local_ax.append(acc)
+        mdh = cvec("m_dof_hinge")
+        mdl = cvec("m_dof_lrot")
+        mdf = cvec("m_dof_freet")
+        mds = cvec("m_dof_slide")
+        w = tuple(mdh * h + mdl * l for h, l in zip(hinge_ax, local_ax))
+        rel = tuple(o - a for o, a in zip(org_d, anchor_d))
+        lin_rot = _cross(w, rel)
+        eye_r = [cvec("eye_rows", k) for k in range(3)]
+        lin = tuple(mdf * e + mds * h + (1 - mdf - mds) * lr
+                    for e, h, lr in zip(eye_r, hinge_ax, lin_rot))
+        cdof6 = w + lin
+
+        # F_i = crb[body(dof)] row i . cdof
+        Fc = []
+        for i in range(6):
+            acc = jnp.zeros((nv, L), f32)
+            for j in range(6):
+                acc = acc + mm("dof_body_oh", crb[(i, j)]) * cdof6[j]
+            Fc.append(acc)
+    else:
+        cdof6 = (zero_v,) * 6
+        Fc = [zero_v] * 6
+
+    if run(4):
+        # qM = maskL.(F ox cdof) + maskU.(cdof ox F) - diag corr + armature
+        maskL = T("mask_l")[:, :, None]
+        maskU = T("mask_u")[:, :, None]
+        low = jnp.zeros((nv, nv, L), f32)
+        up = jnp.zeros((nv, nv, L), f32)
+        for k in range(6):
+            low = low + Fc[k][:, None, :] * cdof6[k][None, :, :]
+            up = up + cdof6[k][:, None, :] * Fc[k][None, :, :]
+        # i==j  <=>  i ancestor-or-self of j AND j ancestor-or-self of i
+        diag_c = (T("mask_l") * T("mask_u"))[:, :, None]
+        arm = cvec("armature")[:, 0][:, None, None]
+        qM = maskL * low + maskU * up + diag_c * (arm - low)
+    else:
+        qM = jnp.zeros((nv, nv, L), f32)
     qM_ref[:] = qM
 
     # ---- fused mass-matrix inverse(s): in-VMEM symmetric sweep ----------
@@ -424,6 +445,12 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
             ).astype(f32)
 
     def sweep_into(ref, A):
+        # (round-5 probe: a blocked rank-8 principal-pivot-transform
+        # variant — one full-matrix RMW per 8 pivots — measured SLOWER
+        # (+0.29 ms over both sweeps): the cost is the (nv,nv,L) FMA
+        # passes themselves, which blocking cannot reduce, and the
+        # blocked form adds temporary traffic.)
+        #
         # Jacobi scaling A~ = S A S cuts the condition number the sweep
         # sees (diag extracted by a MAJOR-axis reduction — Mosaic rejects
         # sublane-axis reductions feeding consumers)
@@ -452,10 +479,16 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
         ref[:] = -ref[:] * s[:, None, :] * s[None, :, :]
 
     if inv_refs:
-        sweep_into(inv_refs[0], qM)
+        if run(5):
+            sweep_into(inv_refs[0], qM)
+        else:
+            inv_refs[0][:] = jnp.zeros_like(inv_refs[0])
         if damped:
-            hb = cvec("hB")[:, 0][:, None, None]
-            sweep_into(inv_refs[1], qM + eye2 * hb)
+            if run(6):
+                hb = cvec("hB")[:, 0][:, None, None]
+                sweep_into(inv_refs[1], qM + eye2 * hb)
+            else:
+                inv_refs[1][:] = jnp.zeros_like(inv_refs[1])
 
     # ---- write component outputs ----
     for k in range(3):
@@ -480,7 +513,8 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
 _CACHE: dict = {}
 
 
-def make_position_fused(m, reference_fn, interpret: bool = False):
+def make_position_fused(m, reference_fn, interpret: bool = False,
+                        stage_cap: int | None = None):
     """Builds the fused position stage for one model.
 
     Per-env signature: qpos (nq,) -> (xpos (nb,3), xquat (nb,4),
@@ -491,7 +525,7 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     reference_fn: the per-env XLA pipeline with the same signature (also
     the unbatched/CPU fallback and test oracle).
     """
-    key = (id(m), interpret)
+    key = (id(m), interpret, stage_cap)
     hit = _CACHE.get(key)
     if hit is not None:
         return hit[1]
@@ -502,7 +536,8 @@ def make_position_fused(m, reference_fn, interpret: bool = False):
     st = _statics(m)
     nb, nj, nv, nq, ngeom, _, _ = st["dims"]
     packed, colmap = _pack(st)
-    kernel = functools.partial(_position_kernel, st, colmap, damped)
+    kernel = functools.partial(_position_kernel, st, colmap, damped,
+                               stage_cap)
     # keep numpy here: make_position_fused is typically first called
     # INSIDE a jit trace, and any jax conversion there creates tracers that
     # must not be cached across traces (convert per call in lanes_call).

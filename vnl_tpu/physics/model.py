@@ -14,7 +14,7 @@ oracle in tests.
 from __future__ import annotations
 
 import enum
-from typing import Any, Mapping, Tuple
+from typing import Any, Mapping, Optional, Tuple
 
 import jax
 import numpy as np
@@ -246,6 +246,11 @@ class Model:
     pair_margin: jax.Array      # (npair,)
     pair_gap: jax.Array         # (npair,)
     key_qpos: jax.Array         # (nkey, nq)
+
+    # absolute path of the model's binary <skin> asset, if any (visual-only;
+    # consumed by render/skin.py for skinned eval videos).  Last field: the
+    # only one with a default (dataclass ordering).
+    skin_file: Optional[str] = _static(default=None)
 
     def name2id(self, kind: str, name: str) -> int:
         table = {

@@ -261,10 +261,27 @@ def _intersect_geom(O, D, gtype, size):
 
 class SoftwareRenderer:
     def __init__(self, model: Model, width: int = 320, height: int = 240,
-                 fovy: float = 45.0):
+                 fovy: float = 45.0, skin=None):
+        """skin: optional render.skin.Skin — when set, instances render the
+        skinned mesh (z-buffered triangles) instead of collision geoms,
+        matching the reference's MuJoCo-C skinned-rat videos
+        (/root/reference/train.py:310-328, assets/rodent.xml <skin>)."""
         self.m = model
         self.w, self.h = width, height
         self.focal = 0.5 * height / np.tan(np.deg2rad(fovy) / 2)
+        if skin == "auto":
+            skin = None
+            path = getattr(model, "skin_file", None)
+            if path:
+                try:
+                    from vnl_tpu.render.skin import load_skn
+                    skin = load_skn(path)
+                except (OSError, ValueError):
+                    skin = None  # missing/corrupt asset: fall back to geoms
+        self.skin = skin
+        if skin is not None:
+            from vnl_tpu.render.skin import bone_body_ids
+            self._skin_bones = bone_body_ids(skin, model.body_names)
 
     def geom_poses(self, qpos: np.ndarray):
         _, _, gxpos, gxmat = numpy_fk(self.m, np.asarray(qpos))
@@ -332,6 +349,67 @@ class SoftwareRenderer:
             into_g[y0:y1, x0:x1] = np.where(closer, g, sub_g).reshape(
                 y1 - y0, x1 - x0)
 
+    def _raster_skin(self, eye, R, xpos, xquat, into_t, into_n):
+        """Rasterizes the posed skin mesh with a z-buffer (flat shading).
+
+        Produces the same per-pixel (t, normal) buffers as _cast_instance,
+        so the shading/blending passes are shared.  t is Euclidean
+        distance from the eye (commensurate with the ray-caster's t);
+        per-pixel t interpolates barycentrically — skin triangles are a
+        few pixels, so screen-space interpolation is below the z-buffer's
+        resolution anyway."""
+        from vnl_tpu.render.skin import skin_vertices
+        verts = skin_vertices(self.skin, self._skin_bones, xpos, xquat)
+        cam = (verts - eye) @ R.T                   # rows: right, up, fwd
+        z = np.maximum(cam[:, 2], 1e-3)
+        u = self.w / 2 + self.focal * cam[:, 0] / z
+        v = self.h / 2 - self.focal * cam[:, 1] / z
+        tv = np.linalg.norm(verts - eye, axis=1)
+        valid = cam[:, 2] > 1e-3
+
+        faces = self.skin.faces
+        ok = valid[faces].all(axis=1)
+        p0, p1, p2 = (verts[faces[:, k]] for k in range(3))
+        fn = np.cross(p1 - p0, p2 - p0)
+        # orient every face normal toward the camera (winding-agnostic)
+        toward = np.einsum("fj,fj->f", fn, (p0 + p1 + p2) / 3 - eye)
+        fn = np.where(toward[:, None] > 0, -fn, fn)
+
+        for fi in np.nonzero(ok)[0]:
+            i0, i1, i2 = faces[fi]
+            x0f, x1f, x2f = u[i0], u[i1], u[i2]
+            y0f, y1f, y2f = v[i0], v[i1], v[i2]
+            xa = max(int(min(x0f, x1f, x2f)), 0)
+            xb = min(int(max(x0f, x1f, x2f)) + 2, self.w)
+            ya = max(int(min(y0f, y1f, y2f)), 0)
+            yb = min(int(max(y0f, y1f, y2f)) + 2, self.h)
+            if xa >= xb or ya >= yb:
+                continue
+            denom = ((y1f - y2f) * (x0f - x2f)
+                     + (x2f - x1f) * (y0f - y2f))
+            if abs(denom) < 1e-9:
+                continue
+            py, px = np.mgrid[ya:yb, xa:xb]
+            px = px + 0.5
+            py = py + 0.5
+            l0 = ((y1f - y2f) * (px - x2f)
+                  + (x2f - x1f) * (py - y2f)) / denom
+            l1 = ((y2f - y0f) * (px - x2f)
+                  + (x0f - x2f) * (py - y2f)) / denom
+            l2 = 1.0 - l0 - l1
+            inside = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+            if not inside.any():
+                continue
+            t_pix = l0 * tv[i0] + l1 * tv[i1] + l2 * tv[i2]
+            sub_t = into_t[ya:yb, xa:xb]
+            closer = inside & (t_pix < sub_t)
+            if not closer.any():
+                continue
+            into_t[ya:yb, xa:xb] = np.where(closer, t_pix, sub_t)
+            sub_n = into_n[ya:yb, xa:xb]
+            into_n[ya:yb, xa:xb] = np.where(closer[..., None], fn[fi],
+                                            sub_n)
+
     @staticmethod
     def _shade(normals, base_color):
         n = normals / np.maximum(
@@ -369,35 +447,40 @@ class SoftwareRenderer:
 
         default_colors = [(0.85, 0.45, 0.25), (0.4, 0.6, 0.9),
                           (0.5, 0.8, 0.5)]
-        poses = [self.geom_poses(np.asarray(q)) for q in qpos_list]
+        poses = [numpy_fk(m, np.asarray(q)) for q in qpos_list]
         inst_alpha = [(alphas[i] if alphas else (1.0 if i == 0 else 0.45))
                       for i in range(len(qpos_list))]
         inst_color = [np.array(colors[i] if colors else
                                default_colors[i % 3])
                       for i in range(len(qpos_list))]
 
-        # opaque pass (all instances with alpha >= 1) -> depth buffer
-        for i, (gx, gm) in enumerate(poses):
-            if inst_alpha[i] < 1.0:
-                continue
+        def instance_buffers(fk):
+            xpos, xquat, gx, gm = fk
             t = np.full((self.h, self.w), _INF)
             n = np.zeros((self.h, self.w, 3))
-            gid = np.zeros((self.h, self.w), np.int32)
-            self._cast_instance(dirs, eye, gx, gm, t, n, gid)
+            if self.skin is not None:
+                self._raster_skin(eye, R, xpos, xquat, t, n)
+            else:
+                gid = np.zeros((self.h, self.w), np.int32)
+                self._cast_instance(dirs, eye, gx, gm, t, n, gid)
+            return t, n
+
+        # opaque pass (all instances with alpha >= 1) -> depth buffer
+        for i, fk in enumerate(poses):
+            if inst_alpha[i] < 1.0:
+                continue
+            t, n = instance_buffers(fk)
             closer = t < depth
             depth = np.where(closer, t, depth)
             shaded = self._shade(n, inst_color[i])
             img[closer] = shaded[closer]
 
         # translucent passes blend against the opaque depth buffer
-        for i, (gx, gm) in enumerate(poses):
+        for i, fk in enumerate(poses):
             a = inst_alpha[i]
             if a >= 1.0:
                 continue
-            t = np.full((self.h, self.w), _INF)
-            n = np.zeros((self.h, self.w, 3))
-            gid = np.zeros((self.h, self.w), np.int32)
-            self._cast_instance(dirs, eye, gx, gm, t, n, gid)
+            t, n = instance_buffers(fk)
             vis = t < depth
             shaded = self._shade(n, inst_color[i])
             img[vis] = (1 - a) * img[vis] + a * shaded[vis]
@@ -452,14 +535,19 @@ def render_trajectory(model: Model, qpos_traj: np.ndarray, width=320,
 
 def render_overlay_video(model: Model, qpos_rollout: np.ndarray,
                          qpos_ref: np.ndarray, out_path: str,
-                         fps: int = 50, width=320, height=240) -> str:
+                         fps: int = 50, width=320, height=240,
+                         skin="auto") -> str:
     """Agent vs reference ghost overlay video (reference train.py:274-331).
 
     Instead of a <replicate> pair MJCF + two-model qpos stacking, the same
     model is rendered twice per frame (agent opaque, reference translucent).
-    """
+    skin: optional render.skin.Skin (or a path to a .skn file) — renders
+    the skinned mesh like the reference's MuJoCo-C videos."""
     import imageio
-    r = SoftwareRenderer(model, width, height)
+    if isinstance(skin, str) and skin != "auto":
+        from vnl_tpu.render.skin import load_skn
+        skin = load_skn(skin)
+    r = SoftwareRenderer(model, width, height, skin=skin)
     frames = [r.render([qa, qr]) for qa, qr in
               zip(np.asarray(qpos_rollout), np.asarray(qpos_ref))]
     try:
