@@ -198,3 +198,55 @@ def test_evaluator_per_clip_rewards():
     assert per_clip, out.keys()
     for k in per_clip:
         assert np.isfinite(out[k])
+
+
+def test_adaptive_clip_weights():
+    """Adaptive multi-clip sampling: weights are a traced reset argument
+    (no recompile across refreshes), the trainer grows weight on the worst
+    clip each eval interval, and weights are logged."""
+    import functools
+    import yaml
+
+    from vnl_tpu.data.io import load_clip
+    from vnl_tpu.data.reference_clip import ClipLibrary
+
+    cfg = yaml.safe_load(open(
+        "/root/repo/configs/env_config.yaml"))["env"]
+    clip = load_clip("/root/reference/clips/transform_snips_groom.p")
+    clip2 = jax.tree_util.tree_map(
+        lambda x: None if x is None else x[::-1], clip)
+    lib = ClipLibrary.from_clips([clip, clip2])
+    env = envs.get_environment("rodent_multiclip", clip_library=lib,
+                               **cfg["env_args"])
+
+    # weighted reset honors extreme weights (all mass on clip 1)
+    wrapped = envs.wrap_for_training(env, episode_length=4)
+    keys = jax.random.split(jax.random.PRNGKey(0), 16)
+    st = jax.jit(lambda k, w: wrapped.reset(k, clip_weights=w))(
+        keys, jnp.asarray([1e-6, 1.0]))
+    assert int(np.asarray(st.info["clip_id"]).sum()) == 16
+
+    logged = {}
+
+    def progress(step, metrics):
+        logged.update({k: v for k, v in metrics.items()
+                       if "clip_weight" in k})
+
+    training.train(
+        environment=env,
+        num_timesteps=512, episode_length=4, num_envs=8, num_eval_envs=8,
+        unroll_length=2, batch_size=8, num_minibatches=2,
+        num_updates_per_batch=1, num_evals=3, seed=0,
+        network_factory=functools.partial(
+            models.make_intention_ppo_networks,
+            encoder_layer_sizes=(16,), decoder_layer_sizes=(16,),
+            value_hidden_layer_sizes=(16,)),
+        progress_fn=progress,
+        adaptive_clip_weights=True,
+    )
+    assert "training/clip_weight_0" in logged and \
+        "training/clip_weight_1" in logged
+    w = np.array([logged["training/clip_weight_0"],
+                  logged["training/clip_weight_1"]])
+    np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
+    assert (w > 0.05).all()

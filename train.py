@@ -157,6 +157,7 @@ def main(argv=None):
         policy_params_fn=policy_params_fn,
         checkpoint_dir=os.path.join(model_path, "state"),
         restore_checkpoint_path=tc.get("restore_checkpoint"),
+        adaptive_clip_weights=bool(tc.get("adaptive_clip_weights", False)),
     )
 
     ckpt_lib.save_params(os.path.join(model_path, "finished"), params)

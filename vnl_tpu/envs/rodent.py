@@ -138,11 +138,11 @@ class RodentTracking(PipelineEnv):
     def _get_clip(self, info) -> ReferenceClip:
         return self._ref_clip
 
-    def _extra_reset_info(self, rng) -> dict:
+    def _extra_reset_info(self, rng, clip_weights=None) -> dict:
         return {}
 
     # ---- reset / step ----
-    def reset(self, rng: jax.Array) -> State:
+    def reset(self, rng: jax.Array, clip_weights=None) -> State:
         rng_frame, rng_noise, rng_clip, rng_len = jax.random.split(rng, 4)
         # Sub-clip curriculum: when min_sub_clip_length is set, each episode
         # samples its own horizon log-uniformly in [min, sub_clip_length].
@@ -169,7 +169,7 @@ class RodentTracking(PipelineEnv):
             "sub_clip_frame": jnp.zeros((), jnp.int32),
             "sub_clip_length": sub_len,
         }
-        info.update(self._extra_reset_info(rng_clip))
+        info.update(self._extra_reset_info(rng_clip, clip_weights))
         ref = self._get_clip(info)
 
         noise = self._reset_noise_scale * jax.random.normal(
@@ -355,7 +355,15 @@ class RodentMultiClipTracking(RodentTracking):
                                   clips.body_quaternions[:, :, self._body_idxs]))
         self._library = ClipLibrary(clips=clips, weights=clip_library.weights)
 
-    def _extra_reset_info(self, rng) -> dict:
+    def _extra_reset_info(self, rng, clip_weights=None) -> dict:
+        # clip_weights (traced, (num_clips,)) overrides the library's static
+        # weights — the trainer's adaptive sampler re-resets envs each eval
+        # interval with weights grown on the clips the policy fails on
+        # (completing the ClipCollection weighting design,
+        # mocap_preprocess.py:343-376)
+        if clip_weights is not None:
+            cid = jax.random.categorical(rng, jnp.log(clip_weights))
+            return {"clip_id": cid}
         return {"clip_id": self._library.sample_id(rng)}
 
     def _get_clip(self, info) -> ReferenceClip:

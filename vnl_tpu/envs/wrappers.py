@@ -25,8 +25,10 @@ class Wrapper(Env):
     def __init__(self, env: Env):
         self.env = env
 
-    def reset(self, rng):
-        return self.env.reset(rng)
+    def reset(self, rng, **kw):
+        # extra reset kwargs (e.g. the multi-clip env's clip_weights) pass
+        # through the whole wrapper stack as traced values
+        return self.env.reset(rng, **kw)
 
     def step(self, state, action):
         return self.env.step(state, action)
@@ -57,8 +59,8 @@ class EpisodeWrapper(Wrapper):
         self.episode_length = episode_length
         self.action_repeat = action_repeat
 
-    def reset(self, rng):
-        state = self.env.reset(rng)
+    def reset(self, rng, **kw):
+        state = self.env.reset(rng, **kw)
         state.info["steps"] = jnp.zeros((), jnp.float32)
         state.info["truncation"] = jnp.zeros((), jnp.float32)
         return state
@@ -88,10 +90,11 @@ class VmapWrapper(Wrapper):
         super().__init__(env)
         self.batch_size = batch_size
 
-    def reset(self, rng):
+    def reset(self, rng, **kw):
         if self.batch_size is not None and rng.ndim == 1:
             rng = jax.random.split(rng, self.batch_size)
-        return jax.vmap(self.env.reset)(rng)
+        # kwargs (traced values) broadcast: closed over, not vmapped
+        return jax.vmap(lambda r: self.env.reset(r, **kw))(rng)
 
     def step(self, state, action):
         return jax.vmap(self.env.step)(state, action)
@@ -118,8 +121,8 @@ class AutoResetWrapper(Wrapper):
         super().__init__(env)
         self._restore_info = restore_info
 
-    def reset(self, rng):
-        state = self.env.reset(rng)
+    def reset(self, rng, **kw):
+        state = self.env.reset(rng, **kw)
         ps = state.pipeline_state
         if all(hasattr(ps, k) for k in self._CARRIED):
             snap = {k: getattr(ps, k) for k in self._CARRIED}
@@ -176,8 +179,8 @@ class EvalWrapper(Wrapper):
     """Accumulates per-episode metric sums for the evaluator
     (brax EvalWrapper semantics, acting.py:109)."""
 
-    def reset(self, rng):
-        reset_state = self.env.reset(rng)
+    def reset(self, rng, **kw):
+        reset_state = self.env.reset(rng, **kw)
         reset_state.metrics["reward"] = reset_state.reward
         eval_metrics = EvalMetrics(
             episode_metrics=jax.tree_util.tree_map(

@@ -302,18 +302,27 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
                    for k in range(3))
 
     # ---- pointer-doubling composition ----
+    # The 7 per-component gathers of one round share the same one-hot LHS:
+    # stack the components along LANES and gather them in ONE wide matmul
+    # (the MXU keeps the jump table stationary across the 7 column blocks
+    # instead of reloading it per dot).
     for r in range(n_rounds):
-        aq = tuple(mm("jump_oh", cmp, r) for cmp in node_q)
-        ap = tuple(mm("jump_oh", cmp, r) for cmp in node_p)
+        nodes = jnp.concatenate(node_q + node_p, axis=1)      # (Nn, 7L)
+        a = mm("jump_oh", nodes, r)
+        aq = tuple(a[:, k * L:(k + 1) * L] for k in range(4))
+        ap = tuple(a[:, (4 + k) * L:(5 + k) * L] for k in range(3))
         node_p = tuple(a + b for a, b in zip(ap, _qrot(aq, node_p)))
         node_q = _qmul(aq, node_q)
     node_q = _qnormalize(node_q)
 
-    # ---- extraction ----
-    xquat = tuple(mm("final_oh", cmp) for cmp in node_q)
-    xpos = tuple(mm("final_oh", cmp) for cmp in node_p)
-    pq = tuple(mm("pre_oh", cmp) for cmp in node_q)
-    pp = tuple(mm("pre_oh", cmp) for cmp in node_p)
+    # ---- extraction (same lane-stacked single-matmul trick) ----
+    nodes = jnp.concatenate(node_q + node_p, axis=1)          # (Nn, 7L)
+    fin = mm("final_oh", nodes)
+    xquat = tuple(fin[:, k * L:(k + 1) * L] for k in range(4))
+    xpos = tuple(fin[:, (4 + k) * L:(5 + k) * L] for k in range(3))
+    pre = mm("pre_oh", nodes)
+    pq = tuple(pre[:, k * L:(k + 1) * L] for k in range(4))
+    pp = tuple(pre[:, (4 + k) * L:(5 + k) * L] for k in range(3))
     anchor = tuple(a + b for a, b in zip(pp, _qrot(pq, jp)))
     axis_w = _qrot(pq, tuple(a * unit_w for a in ax))
     jb_xpos = tuple(mm("jnt_body_oh", cmp) for cmp in xpos)

@@ -94,6 +94,7 @@ def train(
     num_devices: Optional[int] = None,
     restore_checkpoint_path: Optional[str] = None,
     checkpoint_dir: Optional[str] = None,
+    adaptive_clip_weights: bool = False,
 ):
     """Runs PPO; returns (make_policy, (normalizer_params, policy_params),
     metrics).  Argument semantics follow ppo_imitation/train.py:62-147."""
@@ -287,6 +288,39 @@ def train(
         return jax.jit(env.reset, out_shardings=sharded)(
             put_sharded_rows(jax.random.split(key, num_envs_local)))
 
+    # ---- adaptive multi-clip sampling (ClipCollection weighting design,
+    # reference mocap_preprocess.py:343-376): each eval interval, clip
+    # sampling weights grow on the clips the policy scores worst on, and
+    # envs re-reset with the new weights (clip ids are pinned per env
+    # between resets — the AutoReset snapshot restores them).  Weights are
+    # a TRACED reset argument, so refreshing them never recompiles.
+    clip_lib = getattr(environment, "_library", None)
+    adaptive_clip_weights = adaptive_clip_weights and clip_lib is not None
+    if adaptive_clip_weights:
+        if process_count > 1:
+            raise NotImplementedError(
+                "adaptive_clip_weights needs a cross-process weight "
+                "broadcast; run single-process or disable it")
+        _weighted_reset = jax.jit(
+            lambda keys, w: env.reset(keys, clip_weights=w),
+            out_shardings=sharded)
+
+    def _refresh_clip_weights(metrics, key):
+        """New (num_clips,) weights from per-clip eval rewards: a clip at
+        the best reward keeps the floor weight, a clip at 0 (or never
+        evaluated) gets floor + 1."""
+        n = clip_lib.num_clips
+        rew = np.zeros(n)
+        for c in range(n):
+            rew[c] = float(metrics.get(f"eval/episode_reward_clip{c}", 0.0))
+        deficit = 1.0 - rew / (rew.max() + 1e-8)
+        w = np.maximum(deficit, 0.0) + 0.25
+        w = w / w.sum()
+        state = _weighted_reset(
+            put_sharded_rows(jax.random.split(key, num_envs_local)),
+            jnp.asarray(w, jnp.float32))
+        return state, w
+
     training_walltime = 0.0
     _MAX_FAULT_RETRIES = max(0, int(os.environ.get(
         "VNL_TPU_FAULT_RETRIES", "2")))
@@ -440,6 +474,11 @@ def train(
             params = (training_state.normalizer_params,
                       training_state.params.policy)
             metrics = evaluator.run_evaluation(params, training_metrics)
+            if adaptive_clip_weights:
+                proc_key, w_key = jax.random.split(proc_key)
+                env_state, w = _refresh_clip_weights(metrics, w_key)
+                metrics.update({f"training/clip_weight_{c}": float(w[c])
+                                for c in range(len(w))})
             logging.info(metrics)
             progress_fn(current_step, metrics)
             policy_params_fn(current_step, make_policy, params)
