@@ -9,7 +9,8 @@ through the axon relay (CLAUDE.md round-4).
 Stages: 0 FK+extract | 1 +geom/scom | 2 +cinert | 3 +crb/cdof | 4 +qM
         | 5 +qMinv sweep | 6/full +qMhBinv sweep.
 
-Usage: python tools/bisect_position_kernel.py [B] [ITERS]
+Usage: python tools/bisect_position_kernel.py [B] [ITERS] [caps]
+  caps: comma list, e.g. "0,full" (default "0,1,2,3,4,5,full")
 """
 
 import importlib
@@ -47,8 +48,11 @@ qpos = jnp.tile(jnp.asarray(m.qpos0)[None], (B, 1))
 qpos = qpos.at[:, 7:].add(
     0.05 * jax.random.normal(k1, (B, m.nq - 7), jnp.float32))
 
+caps = [None if c == "full" else int(c) for c in
+        (sys.argv[3].split(",") if len(sys.argv) > 3
+         else ["0", "1", "2", "3", "4", "5", "full"])]
 results = {}
-for cap in [0, 1, 2, 3, 4, 5, None]:
+for cap in caps:
     fused = pp.make_position_fused(m, ref_fn, stage_cap=cap)
 
     @jax.jit

@@ -18,6 +18,7 @@ COMMON=(env.name=rodent_multiclip env.env_args.clip_length=125
         train.episode_length=120 train.num_envs=1024
         train.eval_every=5000000 train.num_timesteps=101000000
         train.render_eval=false
+        train.checkpoint_dir=model_checkpoints/probes_r5
         "train.restore_checkpoint=$CKPT")
 
 run() { # name extra-overrides...

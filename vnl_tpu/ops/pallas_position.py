@@ -302,27 +302,22 @@ def _position_kernel(st, colmap, damped, cap, qpos_ref, *refs):
                    for k in range(3))
 
     # ---- pointer-doubling composition ----
-    # The 7 per-component gathers of one round share the same one-hot LHS:
-    # stack the components along LANES and gather them in ONE wide matmul
-    # (the MXU keeps the jump table stationary across the 7 column blocks
-    # instead of reloading it per dot).
+    # (round-5 probe: lane-stacking the 7 components into ONE wide matmul
+    # per round — shared one-hot LHS — measured SLOWER, +0.14 ms on the FK
+    # front-end: the lane-axis concats cost more than the per-dot issue
+    # they save.  Keep the per-component dots.)
     for r in range(n_rounds):
-        nodes = jnp.concatenate(node_q + node_p, axis=1)      # (Nn, 7L)
-        a = mm("jump_oh", nodes, r)
-        aq = tuple(a[:, k * L:(k + 1) * L] for k in range(4))
-        ap = tuple(a[:, (4 + k) * L:(5 + k) * L] for k in range(3))
+        aq = tuple(mm("jump_oh", cmp, r) for cmp in node_q)
+        ap = tuple(mm("jump_oh", cmp, r) for cmp in node_p)
         node_p = tuple(a + b for a, b in zip(ap, _qrot(aq, node_p)))
         node_q = _qmul(aq, node_q)
     node_q = _qnormalize(node_q)
 
-    # ---- extraction (same lane-stacked single-matmul trick) ----
-    nodes = jnp.concatenate(node_q + node_p, axis=1)          # (Nn, 7L)
-    fin = mm("final_oh", nodes)
-    xquat = tuple(fin[:, k * L:(k + 1) * L] for k in range(4))
-    xpos = tuple(fin[:, (4 + k) * L:(5 + k) * L] for k in range(3))
-    pre = mm("pre_oh", nodes)
-    pq = tuple(pre[:, k * L:(k + 1) * L] for k in range(4))
-    pp = tuple(pre[:, (4 + k) * L:(5 + k) * L] for k in range(3))
+    # ---- extraction ----
+    xquat = tuple(mm("final_oh", cmp) for cmp in node_q)
+    xpos = tuple(mm("final_oh", cmp) for cmp in node_p)
+    pq = tuple(mm("pre_oh", cmp) for cmp in node_q)
+    pp = tuple(mm("pre_oh", cmp) for cmp in node_p)
     anchor = tuple(a + b for a, b in zip(pp, _qrot(pq, jp)))
     axis_w = _qrot(pq, tuple(a * unit_w for a in ax))
     jb_xpos = tuple(mm("jnt_body_oh", cmp) for cmp in xpos)

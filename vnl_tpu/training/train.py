@@ -454,13 +454,20 @@ def train(
         logging.info(metrics)
         progress_fn(0, metrics)
 
-    current_step = 0
+    # num_timesteps is an ABSOLUTE env-step target: a restored run only
+    # trains the remaining steps (round-5; previously a resume re-ran the
+    # full budget, which broke staged-curriculum schedules that name their
+    # stage boundaries in absolute steps).
+    current_step = (0 if restore_checkpoint_path is None else
+                    int(jax.device_get(training_state.env_steps)))
     # The fault-recovery snapshot lives ON DEVICE (snapshot_device); its
     # host copy streams down in the background and is consumed one interval
     # LATE as the checkpoint payload — so the slow relay D2H never blocks
     # the training loop.  Checkpoints therefore trail live progress by one
     # eval interval (the resume path loses at most one interval's work).
-    for interval in range(intervals):
+    interval = -1
+    while current_step < num_timesteps:
+        interval += 1
         logging.info("starting interval %s t=%.1fs", interval,
                      time.time() - start_walltime)
         proc_key, interval_key = jax.random.split(proc_key)
