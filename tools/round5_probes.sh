@@ -12,6 +12,12 @@
 # SIGTERM, ADVICE r4) and strictly sequential (one TPU client).
 set -u
 cd "$(dirname "$0")/.."
+# Probe-gate: after ANY killed TPU client the next client's first compile
+# absorbs minutes of relay-session cleanup (round-5 finding: a train.py
+# launched right after a kill wedged at 0 CPU for 20+ min).  A throwaway
+# probe takes the hit instead, so training starts on a verified relay.
+echo "=== relay probe-gate ($(date -u +%H:%M)) ==="
+timeout 420 python tools/probe_relay.py || { echo "relay dead; aborting"; exit 1; }
 CKPT=$(readlink -f checkpoints_keep/multiclip_c52586f1/state_80855040)
 COMMON=(env.name=rodent_multiclip env.env_args.clip_length=125
         env.env_args.sub_clip_length=100 env.env_args.min_sub_clip_length=5
@@ -26,7 +32,7 @@ run() { # name extra-overrides...
   echo "=== probe $name ($(date -u +%H:%M)) ==="
   timeout -k 30 "${PROBE_SECONDS:-1500}" python train.py "${COMMON[@]}" \
     train.task_name="probe_$name" "$@" 2>&1 \
-    | grep -v WARNING | tee "logs/probe_r5_$name.log" | tail -6
+    | grep --line-buffered -v WARNING | tee "logs/probe_r5_$name.log" | tail -6
 }
 
 run P0_control

@@ -14,6 +14,12 @@
 # Env: STAGE_SECONDS per stage wall budget (default 4200), STAGES list.
 set -u
 cd "$(dirname "$0")/.."
+# Probe-gate: after ANY killed TPU client the next client's first compile
+# absorbs minutes of relay-session cleanup (round-5 finding: a train.py
+# launched right after a kill wedged at 0 CPU for 20+ min).  A throwaway
+# probe takes the hit instead, so training starts on a verified relay.
+echo "=== relay probe-gate ($(date -u +%H:%M)) ==="
+timeout 420 python tools/probe_relay.py || { echo "relay dead; aborting"; exit 1; }
 
 # task-scoped checkpoint root: the resilient resume scan must never pick
 # up a checkpoint from another campaign (e.g. the multiclip probes)
@@ -35,7 +41,7 @@ stage() { # msl num_timesteps
     "${COMMON[@]}" \
     env.env_args.min_sub_clip_length="$msl" \
     train.num_timesteps="$nt" 2>&1 \
-    | grep -v WARNING | tee -a logs/train_r5_fullclip.log | tail -4
+    | grep --line-buffered -v WARNING | tee -a logs/train_r5_fullclip.log | tail -4
   tools/collect_r5_artifacts.sh $CKROOT
 }
 
