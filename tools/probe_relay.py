@@ -11,7 +11,7 @@ while time.time() < deadline:
     t0 = time.time()
     try:
         r = subprocess.run([sys.executable, "-u", "-c", CODE],
-                           capture_output=True, text=True, timeout=420)
+                           capture_output=True, text=True, timeout=1500)
         out = (r.stdout or "").strip().splitlines()
         ok = [l for l in out if l.startswith("OK")]
         if ok and r.returncode == 0:

@@ -17,7 +17,7 @@ cd "$(dirname "$0")/.."
 # launched right after a kill wedged at 0 CPU for 20+ min).  A throwaway
 # probe takes the hit instead, so training starts on a verified relay.
 echo "=== relay probe-gate ($(date -u +%H:%M)) ==="
-timeout 420 python tools/probe_relay.py || { echo "relay dead; aborting"; exit 1; }
+python tools/probe_relay.py 1800 || { echo "relay dead; aborting"; exit 1; }
 CKPT=$(readlink -f checkpoints_keep/multiclip_c52586f1/state_80855040)
 COMMON=(env.name=rodent_multiclip env.env_args.clip_length=125
         env.env_args.sub_clip_length=100 env.env_args.min_sub_clip_length=5

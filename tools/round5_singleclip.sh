@@ -19,7 +19,7 @@ cd "$(dirname "$0")/.."
 # launched right after a kill wedged at 0 CPU for 20+ min).  A throwaway
 # probe takes the hit instead, so training starts on a verified relay.
 echo "=== relay probe-gate ($(date -u +%H:%M)) ==="
-timeout 420 python tools/probe_relay.py || { echo "relay dead; aborting"; exit 1; }
+python tools/probe_relay.py 1800 || { echo "relay dead; aborting"; exit 1; }
 
 # task-scoped checkpoint root: the resilient resume scan must never pick
 # up a checkpoint from another campaign (e.g. the multiclip probes)
