@@ -31,7 +31,7 @@ PY
   fi
   # per-attempt watchdog: TPU faults sometimes manifest as silent hangs,
   # not crashes; bounded attempts + full-state resume keep net progress
-  timeout "${ATTEMPT_SECONDS:-2400}" python train.py "$@" "${EXTRA[@]}"
+  timeout -k 30 "${ATTEMPT_SECONDS:-2400}" python train.py "$@" "${EXTRA[@]}"
   rc=$?
   [ "$rc" -eq 0 ] && exit 0
   echo "=== attempt $i ended (rc=$rc); retrying ===" >&2
