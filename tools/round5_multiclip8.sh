@@ -15,7 +15,7 @@ timeout -k 30 "${RUN_SECONDS:-3600}" tools/train_resilient.sh \
   env.name=rodent_multiclip \
   env.env_args.clip_length=30 \
   env.env_args.sub_clip_length=24 \
-  env.env_args.min_sub_clip_length=5 \
+  env.env_args.min_sub_clip_length=7 \
   train.episode_length=25 \
   train.num_envs=1024 \
   train.eval_every=8000000 \

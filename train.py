@@ -158,6 +158,7 @@ def main(argv=None):
         checkpoint_dir=os.path.join(model_path, "state"),
         restore_checkpoint_path=tc.get("restore_checkpoint"),
         adaptive_clip_weights=bool(tc.get("adaptive_clip_weights", False)),
+        deterministic_eval=bool(tc.get("deterministic_eval", False)),
     )
 
     ckpt_lib.save_params(os.path.join(model_path, "finished"), params)
