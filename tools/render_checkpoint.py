@@ -42,7 +42,7 @@ def newest_checkpoint():
 
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    ckpt = args[0] if args else newest_checkpoint()
+    ckpt = os.path.abspath(args[0]) if args else newest_checkpoint()
     out = args[1] if len(args) > 1 else "/tmp/rollout"
     print("checkpoint:", ckpt, flush=True)
 
@@ -64,7 +64,31 @@ def main():
     make_policy = models_lib.make_inference_fn(network)
     template = (running_statistics.init_state((env.observation_size,)),
                 network.policy_network.init(jax.random.PRNGKey(0)))
-    params = ckpt_lib.load_params(ckpt, template)
+    if os.path.isdir(ckpt) and (
+            os.path.exists(os.path.join(ckpt, "_METADATA"))
+            or os.path.exists(os.path.join(ckpt, "manifest.ocdbt"))):
+        # orbax full-TrainingState checkpoint (checkpoints_keep/ keepers):
+        # rebuild the exact pytree template and take (normalizer, policy)
+        import optax
+
+        from vnl_tpu.training.losses import PPONetworkParams
+        from vnl_tpu.training.train import TrainingState
+        net_params = PPONetworkParams(
+            policy=template[1],
+            value=network.value_network.init(jax.random.PRNGKey(1)))
+        lr = float(tcfg.get("learning_rate", 6e-4))
+        ts_template = TrainingState(
+            optimizer_state=optax.adam(
+                optax.constant_schedule(lr)).init(net_params),
+            params=net_params,
+            normalizer_params=template[0],
+            env_steps=jnp.zeros((), jnp.int32))
+        ts = ckpt_lib.restore(ckpt, ts_template)
+        params = (ts.normalizer_params, ts.params.policy)
+        print("loaded TrainingState at env_steps=%d" % int(ts.env_steps),
+              flush=True)
+    else:
+        params = ckpt_lib.load_params(ckpt, template)
     policy = jax.jit(make_policy(params, deterministic=True))
 
     reset = jax.jit(env.reset)
