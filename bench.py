@@ -107,11 +107,14 @@ def _measure_training():
     batch_size = max(1, num_envs // 32)
     steps_per_training_step = batch_size * 20 * 32  # batch*unroll*minib
     intervals = 3
-    # 150 training steps/interval (~3M env steps): long enough that the
-    # per-interval overheads (snapshot, program re-invocation, eval) stop
-    # dominating the steady-state number (60 underestimated by ~15%).
+    # 600 training steps/interval (~12M env steps): close to the production
+    # eval cadence (eval_every=20M => ~976 steps/interval), so the residual
+    # per-interval overheads (snapshot dispatch, stats readback, program
+    # re-invocation) are amortized the same way a real run amortizes them.
+    # 150-step intervals under-reported steady state by ~14% (64.3k vs the
+    # campaign-measured 74.6k training/sps at the production cadence).
     steps_per_interval = int(os.environ.get(
-        "VNL_BENCH_STEPS_PER_INTERVAL", 150)) * steps_per_training_step
+        "VNL_BENCH_STEPS_PER_INTERVAL", 600)) * steps_per_training_step
     sps_seen = []
 
     def progress(step, metrics):

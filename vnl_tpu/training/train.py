@@ -396,8 +396,17 @@ def train(
                     stats_acc.append(stats)
                     steps_done += scan_len
                 # the ONE host sync per interval; device faults from any
-                # enqueued program surface here (or at a dispatch above)
-                stats_host = jax.device_get(stats_acc)
+                # enqueued program surface here (or at a dispatch above).
+                # Stats are PACKED into one (n_prog, n_names) device array
+                # first: device_get on the raw list moves every scalar leaf
+                # as its own host-device transfer, and the TPU relay charges
+                # ~100ms latency per transfer (~6.6s/interval of pure
+                # readback at cap=100 — the residual bench-vs-in-program sps
+                # gap after the round-4 async-snapshot fix).
+                stat_names = sorted(stats_acc[0])
+                packed = jnp.stack([
+                    jnp.stack([s[n] for n in stat_names]) for s in stats_acc])
+                stats_host = np.asarray(jax.device_get(packed))
                 break
             except Exception as e:  # noqa: BLE001 — classified below
                 if not _is_device_fault(e) or retries >= _MAX_FAULT_RETRIES:
@@ -417,9 +426,8 @@ def train(
         metrics = {
             "training/sps": sps,
             "training/walltime": training_walltime,
-            **{f"training/{name}": float(np.mean([np.asarray(s[name])
-                                                  for s in stats_host]))
-               for name in stats_host[0]},
+            **{f"training/{name}": float(np.mean(stats_host[:, i]))
+               for i, name in enumerate(stat_names)},
         }
         return ts, env_state, metrics
 
